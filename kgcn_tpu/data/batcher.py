@@ -1,0 +1,171 @@
+"""Mini-batch assembly: Dataset → fixed-shape device batches.
+
+The reference rebuilt a Python feed_dict of per-graph SparseTensorValues every
+step (kgcn/feed.py:91-234) — the known host-side bottleneck.  Here batch
+assembly is a NumPy concatenation into ONE statically-shaped pytree; every
+batch of a dataset shares the same shapes (node padding ``B*N``, lane-rounded
+edge budget), so the jitted train step compiles exactly once.
+
+The last partial batch is padded with empty graphs and reported via
+``pad_mask`` (the reference's ``mask`` vector, kgcn/feed.py:148-151).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Iterator, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from kgcn_tpu.data.dataset import Dataset, DatasetInfo
+from kgcn_tpu.graph.batch import GraphBatch, batch_graphs, pad_edge_budget
+
+
+@struct.dataclass
+class Batch:
+    """One device batch: the graph plus aligned task tensors."""
+
+    graph: GraphBatch
+    labels: Optional[jnp.ndarray] = None
+    mask_label: Optional[jnp.ndarray] = None
+    node_label: Optional[jnp.ndarray] = None
+    mask_node_label: Optional[jnp.ndarray] = None
+    sequences: Optional[jnp.ndarray] = None
+    sequences_len: Optional[jnp.ndarray] = None
+    vector_modal: Optional[tuple] = None
+    pad_mask: Optional[jnp.ndarray] = None  # [B] 1.0 = real example
+    rng_normal: Optional[jnp.ndarray] = None  # ε for VAE reparameterisation
+
+    @property
+    def num_valid(self) -> jnp.ndarray:
+        return jnp.sum(self.pad_mask)
+
+
+class Batcher:
+    """Yields fixed-shape ``Batch`` pytrees from a host Dataset."""
+
+    def __init__(
+        self,
+        ds: Dataset,
+        info: DatasetInfo,
+        batch_size: int,
+        *,
+        edge_budget: Optional[int] = None,
+        epsilon_dim: int = 0,
+        seed: int = 0,
+    ):
+        self.ds = ds
+        self.info = info
+        self.batch_size = int(batch_size)
+        self.max_nodes = int(ds.max_node_num or info.graph_node_num)
+        per_graph = info.edge_budget_per_graph or self._scan_edge_budget()
+        self.edge_budget = edge_budget or pad_edge_budget(per_graph * self.batch_size)
+        self.epsilon_dim = epsilon_dim
+        self._rng = np.random.RandomState(seed)
+
+    def _scan_edge_budget(self) -> int:
+        if self.ds.adjs is None:
+            return 1
+        return max(max((len(ch[0]) for ch in gs), default=1) for gs in self.ds.adjs)
+
+    @property
+    def num_batches(self) -> int:
+        return (self.ds.num + self.batch_size - 1) // self.batch_size
+
+    def epoch_indices(self, shuffle: bool = True) -> np.ndarray:
+        idx = np.arange(self.ds.num)
+        if shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def make_batch(self, idx: np.ndarray) -> Batch:
+        """Assemble one batch from dataset indices (host-side numpy)."""
+        ds = self.ds
+        B = self.batch_size
+        G = len(idx)
+        assert G <= B
+
+        if ds.adjs is not None:
+            adjs = [
+                [
+                    # batch_graphs accepts (row, col, val) via scipy-style
+                    # tuples; re-pack our triple as a COO tuple
+                    (np.stack([r, c], axis=1), v, (self.max_nodes, self.max_nodes))
+                    for (r, c, v) in ds.adjs[i]
+                ]
+                for i in idx
+            ]
+        else:
+            adjs = [[(np.zeros((0, 2), np.int32), np.zeros(0, np.float32),
+                      (self.max_nodes, self.max_nodes))]] * G
+
+        feats = ds.features[idx] if ds.features is not None else None
+        node_ids = [ds.nodes[i] for i in idx] if ds.nodes is not None else None
+        n_nodes = (
+            ds.enabled_node_nums[idx] if ds.enabled_node_nums is not None else None
+        )
+        graph = batch_graphs(
+            adjs,
+            feats,
+            self.max_nodes,
+            node_ids=node_ids,
+            n_nodes=n_nodes,
+            edge_budget=self.edge_budget,
+            n_graph=B,
+        )
+
+        def pad_rows(x):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            if G == B:
+                return jnp.asarray(x)
+            pad = np.zeros((B - G, *x.shape[1:]), dtype=x.dtype)
+            return jnp.asarray(np.concatenate([x, pad], axis=0))
+
+        pad_mask = np.zeros((B,), np.float32)
+        pad_mask[:G] = 1.0
+
+        vm = None
+        if ds.vector_modal:
+            vm = tuple(pad_rows(v[idx]) for v in ds.vector_modal)
+
+        eps = None
+        if self.epsilon_dim:
+            eps = jnp.asarray(
+                self._rng.normal(size=(B, self.max_nodes, self.epsilon_dim)).astype(
+                    np.float32
+                )
+            )
+
+        return Batch(
+            graph=graph,
+            labels=pad_rows(ds.labels[idx]) if ds.labels is not None else None,
+            mask_label=(
+                pad_rows(ds.mask_label[idx]) if ds.mask_label is not None else None
+            ),
+            node_label=(
+                pad_rows(ds.node_label[idx]) if ds.node_label is not None else None
+            ),
+            mask_node_label=(
+                pad_rows(ds.mask_node_label[idx])
+                if ds.mask_node_label is not None
+                else None
+            ),
+            sequences=(
+                pad_rows(ds.sequences[idx]) if ds.sequences is not None else None
+            ),
+            sequences_len=(
+                pad_rows(ds.sequences_len[idx])
+                if ds.sequences_len is not None
+                else None
+            ),
+            vector_modal=vm,
+            pad_mask=jnp.asarray(pad_mask),
+        )
+
+    def batches(self, shuffle: bool = True) -> Iterator[Batch]:
+        idx = self.epoch_indices(shuffle)
+        for start in range(0, len(idx), self.batch_size):
+            yield self.make_batch(idx[start : start + self.batch_size])

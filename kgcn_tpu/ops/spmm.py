@@ -1,0 +1,106 @@
+"""Sparse×dense matmul primitives over packed COO edge lists.
+
+These are the TPU-native equivalents of the reference's native ops
+(``bspmm.so`` / ``bconv.so`` / ``batched.so``, reference: kgcn/bspmm_call.py,
+kgcn/bconv_call.py, kgcn/batched_call.py).  Semantics:
+
+* :func:`spmm`              — ``out[r] = Σ_e w_e · x[s_e]`` for one edge list
+                              (Bspmm / Bspmdt block-diagonal semantics:
+                              kgcn/batched_call.py:17-26).
+* :func:`spmm_multichannel` — per-channel spmm summed over channels
+                              (Bconv semantics: kgcn/bconv_call.py:6-21, the
+                              channel `addn` inferred at :46).
+* :func:`sddmm`             — sampled dense-dense matmul
+                              ``out_e = Σ_f a[r_e, f] · b[s_e, f]`` — the
+                              values-gradient pattern of the reference's
+                              registered bspmm gradient
+                              (kgcn/bspmm_call.py:49-54).
+
+Two execution backends share this API:
+
+* ``xla``    — gather → scale → ``segment_sum`` scatter.  XLA compiles this to
+               sorted-scatter code; it is the portable baseline and the
+               autodiff path (JAX differentiates gather/scatter natively and
+               the resulting VJP *is* the transpose-spmm + sddmm pair).
+* ``pallas`` — hand-written blocked kernel (kgcn_tpu/ops/pallas_spmm.py) with
+               a custom VJP; used on TPU for large edge lists.
+
+Backend selection mirrors the reference's ``--bspmm`` flag architecture
+(kgcn/layers.py:19-29) but defaults to the fast path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = "xla"
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("xla", "pallas"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = None):
+    """``out[r] = Σ_{e: receivers[e]=r} weights[e] * x[senders[e]]``.
+
+    senders/receivers: [E] int32, weights: [E], x: [V, F] → [num_nodes, F].
+    Padding edges must carry weight 0 (then their contribution vanishes).
+    """
+    backend = backend or _BACKEND
+    if backend == "pallas":
+        from kgcn_tpu.ops.pallas_spmm import spmm_pallas
+
+        return spmm_pallas(senders, receivers, weights, x, num_nodes)
+    gathered = x[senders] * weights[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(gathered, receivers, num_segments=num_nodes)
+
+
+def spmm_multichannel(
+    senders, receivers, weights, x, num_nodes: int, backend: str | None = None
+):
+    """Channel-summed spmm: ``out[r] = Σ_c Σ_e w[c,e] · x_c[s[c,e]]``.
+
+    senders/receivers/weights: [C, E]; x: [C, V, F] (per-channel features, the
+    Bconv layout where each channel has its own projected features) or [V, F]
+    (shared features).  Returns [num_nodes, F].
+    """
+    C, E = senders.shape
+    if x.ndim == 2:
+        x = jnp.broadcast_to(x[None], (C, *x.shape))
+    # Flatten channels into one edge list; segment ids stay node indices so a
+    # single scatter accumulates the channel sum — one fused XLA scatter
+    # instead of C sequential ones.
+    flat_x = x.reshape(C * x.shape[1], x.shape[2])
+    offs = (jnp.arange(C, dtype=senders.dtype) * x.shape[1])[:, None]
+    flat_senders = (senders + offs).reshape(-1)
+    flat_receivers = receivers.reshape(-1)
+    flat_weights = weights.reshape(-1)
+    gathered = flat_x[flat_senders] * flat_weights[:, None].astype(flat_x.dtype)
+    return jax.ops.segment_sum(gathered, flat_receivers, num_segments=num_nodes)
+
+
+def sddmm(senders, receivers, a, b):
+    """Per-edge inner products: ``out[e] = Σ_f a[receivers[e], f] * b[senders[e], f]``.
+
+    The values-gradient of spmm (reference gradient: kgcn/bspmm_call.py:49-54)
+    and the edge-logit kernel for GAT-style attention.
+    """
+    return jnp.einsum("ef,ef->e", a[receivers], b[senders])
+
+
+def spmm_dense(adj, x):
+    """Dense-adjacency aggregation for small padded graphs.
+
+    ``adj``: [C, B, N, N], ``x``: [C, B, N, F] (or [B, N, F] shared) →
+    [B, N, F] summed over channels.  One batched matmul — lands on the MXU,
+    which for molecular graph sizes (N ≤ ~256) beats any scatter path.
+    """
+    if x.ndim == 3:
+        return jnp.einsum("cbnm,bmf->bnf", adj, x)
+    return jnp.einsum("cbnm,cbmf->bnf", adj, x)

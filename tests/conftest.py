@@ -1,0 +1,23 @@
+"""Test config: run on a virtual 8-device CPU mesh so sharding logic is
+exercised without TPU hardware (SURVEY.md §4: multi-host logic testable
+single-host via xla_force_host_platform_device_count).
+
+NB: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var, so we
+force CPU through jax.config before any backend is initialised.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Numerical tests compare against NumPy float32 references.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu"
