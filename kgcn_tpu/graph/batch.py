@@ -76,6 +76,9 @@ class GraphBatch:
     node_mask: jnp.ndarray
     nodes: Optional[jnp.ndarray] = None
     node_ids: Optional[jnp.ndarray] = None
+    # Optional cached dense adjacency [C, B, N, N] for the MXU path; populate
+    # once per forward with ``with_dense_adj()`` so all layers share it.
+    dense_adj: Optional[jnp.ndarray] = None
     n_graph: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=1)
 
@@ -128,6 +131,14 @@ class GraphBatch:
             lambda o, f, w: o.at[f].add(w)
         )(out, flat, self.edge_weights.astype(dtype))
         return out.reshape(C, B, N, N)
+
+    def with_dense_adj(self) -> "GraphBatch":
+        """Return a copy carrying the materialised dense adjacency (no-op if
+        already cached).  Call once at the top of a model's forward so every
+        layer's aggregation becomes a batched MXU matmul."""
+        if self.dense_adj is not None:
+            return self
+        return self.replace(dense_adj=self.dense_adjacency())
 
 
 def _coo_normalize(mat) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
