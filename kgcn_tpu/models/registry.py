@@ -1,0 +1,114 @@
+"""Model registry + reference-config compatibility.
+
+The reference loads models by dotted path from the ``model.py`` config key
+(gcn.py:135-151).  We keep a first-class registry (name → builder) and map the
+reference's shipped model paths onto our equivalents so existing kGCN config
+files run unchanged; a dynamic-import escape hatch supports user model files
+defining ``build(info, config) -> flax.linen.Module``.
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Any, Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+# reference "model.py" values → registry names
+_REFERENCE_ALIASES = {
+    "example_model.model:GCN": "gcn",
+    "example_model.model_gin:GIN": "gin",
+    "example_model.model_gat:GAT": "gat",
+    "example_model.model_multitask:GCN": "gcn_multitask",
+    "example_model.model_node_label:GCN": "gcn_node_label",
+    "example_model.model_multimodal:GCN": "gcn_multimodal",
+    "example_model.model_vae:VAE": "gcn_vae",
+    "model": "gcn",
+}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def available() -> list:
+    return sorted(_REGISTRY)
+
+
+def build_model(name: str, info, config: Dict[str, Any]):
+    """Resolve a model name (registry key, reference alias, or
+    ``module:attr`` dynamic path) and build the flax module."""
+    key = _REFERENCE_ALIASES.get(name, name)
+    if key in _REGISTRY:
+        return _REGISTRY[key](info, config)
+    if ":" in name:  # user escape hatch: module must define build(info, config)
+        mod_name, attr = name.split(":", 1)
+        mod = importlib.import_module(mod_name)
+        target = getattr(mod, attr)
+        if hasattr(target, "build"):
+            return target.build(info, config)
+        return target(info, config)
+    raise KeyError(f"unknown model '{name}'; available: {available()}")
+
+
+def _common(info, config):
+    return dict(
+        channels=info.adj_channel_num,
+        label_dim=info.label_dim or 2,
+    )
+
+
+@register("gcn")
+def _gcn(info, config):
+    from kgcn_tpu.models.standard import GCN
+
+    return GCN(
+        **_common(info, config),
+        dropout_rate=float(config.get("dropout_rate", 0.2)),
+        all_node_num=info.all_node_num,
+        embedding_dim=int(config.get("embedding_dim", 10)),
+    )
+
+
+@register("gin")
+def _gin(info, config):
+    from kgcn_tpu.models.standard import GIN
+
+    return GIN(**_common(info, config))
+
+
+@register("gat")
+def _gat(info, config):
+    from kgcn_tpu.models.standard import GATModel
+
+    return GATModel(**_common(info, config))
+
+
+@register("gcn_multitask")
+def _gcn_multitask(info, config):
+    from kgcn_tpu.models.standard import GCNMultitask
+
+    pw = None
+    if info.pos_weight is not None:
+        pw = tuple(float(x) for x in info.pos_weight)
+    return GCNMultitask(
+        **_common(info, config),
+        pos_weight=pw,
+        dropout_rate=float(config.get("dropout_rate", 0.2)),
+        all_node_num=info.all_node_num,
+        embedding_dim=int(config.get("embedding_dim", 10)),
+    )
+
+
+@register("gcn_node_label")
+def _gcn_node_label(info, config):
+    from kgcn_tpu.models.standard import GCNNodeLabel
+
+    return GCNNodeLabel(
+        **_common(info, config),
+        all_node_num=info.all_node_num,
+        embedding_dim=int(config.get("embedding_dim", 10)),
+    )

@@ -234,7 +234,12 @@ class GraphBatchNormalization(nn.Module):
     Masked moments compute the same statistics with static shapes.
     """
 
-    momentum: float = 0.99
+    # Keras default momentum is 0.99; we default to 0.9 so running statistics
+    # converge within the short epoch counts typical of these workloads (the
+    # reference effectively validated with batch statistics — its training
+    # graph served pred_and_eval, kgcn/core.py:287-299 — so slow-moving
+    # running averages never hurt it).
+    momentum: float = 0.9
     epsilon: float = 1e-3
     use_running_average: Optional[bool] = None
 

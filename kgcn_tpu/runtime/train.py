@@ -1,0 +1,326 @@
+"""Core training runtime: jit-compiled train/eval steps, epoch loop,
+early stopping, checkpoint policy, NaN abort.
+
+TPU-native redesign of ``CoreModel`` (reference: kgcn/core.py:129-511):
+
+* one jit-compiled, buffer-donated train step replaces per-step
+  ``sess.run`` + Python feed_dict rebuilds (the reference's bottleneck,
+  kgcn/feed.py:112-126);
+* every batch of an epoch has identical shapes (see
+  ``kgcn_tpu.data.batcher``), so the step compiles exactly once;
+* Adam + BN-statistics update ordering matches the reference's
+  UPDATE_OPS control-dependency pattern (kgcn/core.py:121-127) — flax
+  mutable collections update in the same step;
+* checkpoints: best/last/interval with the reference's policy
+  (kgcn/core.py:314-368), NaN abort (kgcn/core.py:336-337),
+  restore-best-before-final-eval (kgcn/core.py:340-356).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from kgcn_tpu.data.batcher import Batch, Batcher
+from kgcn_tpu.runtime import checkpoint as ckpt
+from kgcn_tpu.runtime.metrics import aggregate_metrics
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+    epoch: int = struct.field(pytree_node=False, default=0)
+
+
+class EarlyStopping:
+    """Stop when validation cost fails to improve ``patience`` consecutive
+    epochs (reference: kgcn/core.py:15-76)."""
+
+    def __init__(self, patience: int = 0, task: str = "classification"):
+        self.patience = patience
+        self.task = task
+        self.prev_cost: Optional[float] = None
+        self.count = 0
+
+    def update(self, validation_cost: float) -> bool:
+        stop = False
+        if self.prev_cost is not None and self.prev_cost < validation_cost:
+            self.count += 1
+            if self.patience > 0 and self.count >= self.patience:
+                stop = True
+        else:
+            self.count = 0
+        self.prev_cost = validation_cost
+        return stop
+
+
+class Trainer:
+    """Builds jitted steps around a flax model following the
+    :class:`kgcn_tpu.models.base.ModelOutput` protocol."""
+
+    def __init__(self, model, config: Dict[str, Any], info=None, tx=None):
+        self.model = model
+        self.config = config
+        self.info = info
+        lr = config.get("learning_rate", 1e-3)
+        self.tx = tx or optax.adam(lr)
+        self._train_step = None
+        self._eval_step = None
+
+    # ---- state ---------------------------------------------------------
+    def init_state(self, sample_batch: Batch, seed: int = 0) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        p_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        variables = self.model.init(
+            {"params": p_rng, "dropout": d_rng}, sample_batch, train=False
+        )
+        params = variables.get("params", {})
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=s_rng,
+        )
+
+    # ---- compiled steps ------------------------------------------------
+    def _make_train_step(self):
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, batch_stats, batch, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            out, updates = model.apply(
+                variables,
+                batch,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
+
+        def step(state: TrainState, batch: Batch):
+            rng, sub = jax.random.split(state.rng)
+            grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch, sub
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                step=state.step + 1,
+                rng=rng,
+            )
+            return new_state, out.cost_sum, out.metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _make_eval_step(self):
+        model = self.model
+
+        def step(params, batch_stats, batch: Batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            out = model.apply(variables, batch, train=False)
+            return out.prediction, out.cost_sum, out.metrics
+
+        return jax.jit(step)
+
+    @property
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        return self._train_step
+
+    @property
+    def eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = self._make_eval_step()
+        return self._eval_step
+
+    # ---- loops ---------------------------------------------------------
+    def run_epoch(self, state: TrainState, batcher: Batcher, shuffle=True):
+        cost_total, n_total = 0.0, 0
+        metric_list = []
+        for batch in batcher.batches(shuffle=shuffle):
+            state, cost_sum, metrics = self.train_step(state, batch)
+            cost_total += float(cost_sum)
+            n_total += int(np.asarray(batch.pad_mask).sum())
+            metric_list.append(jax.device_get(metrics))
+        return state, cost_total / max(n_total, 1), metric_list, n_total
+
+    def evaluate(self, state: TrainState, batcher: Batcher, key_prefix=""):
+        cost_total, n_total = 0.0, 0
+        metric_list, preds = [], []
+        for batch in batcher.batches(shuffle=False):
+            pred, cost_sum, metrics = self.eval_step(
+                state.params, state.batch_stats, batch
+            )
+            n_valid = int(np.asarray(batch.pad_mask).sum())
+            cost_total += float(cost_sum)
+            n_total += n_valid
+            metric_list.append(jax.device_get(metrics))
+            pred_np = jax.device_get(pred)
+            # trim padding rows (reference: kgcn/core.py:409-414)
+            if isinstance(pred_np, dict):
+                preds.append({k: v[:n_valid] for k, v in pred_np.items()})
+            else:
+                preds.append(pred_np[:n_valid])
+        agg = aggregate_metrics(
+            metric_list, n_total, self.config.get("task", ""), key_prefix
+        )
+        if preds and isinstance(preds[0], dict):
+            prediction = {
+                k: np.concatenate([p[k] for p in preds]) for k in preds[0]
+            }
+        elif preds:
+            prediction = np.concatenate(preds)
+        else:
+            prediction = None
+        return {
+            "cost": cost_total / max(n_total, 1),
+            "metrics": agg or {},
+            "prediction": prediction,
+            "num": n_total,
+        }
+
+    def fit(
+        self,
+        state: TrainState,
+        train_batcher: Batcher,
+        valid_batcher: Optional[Batcher] = None,
+        fold: Optional[int] = None,
+        log: Callable[[str], None] = print,
+    ):
+        """Epoch loop with validation / early stopping / checkpoints
+        (reference: kgcn/core.py:211-370)."""
+        cfg = self.config
+        epochs = int(cfg.get("epoch", 50))
+        patience = int(cfg.get("patience", 0))
+        save_interval = int(cfg.get("save_interval", 10) or 0)
+        model_dir = cfg.get("save_model_path") or "model"
+        task = cfg.get("task", "multitask_classification")
+
+        es = EarlyStopping(patience, task)
+        best_cost = np.inf
+        best_epoch = -1
+        history: List[Dict[str, Any]] = []
+        t0 = time.time()
+
+        for epoch in range(epochs):
+            state, train_cost, train_metrics, n_train = self.run_epoch(
+                state, train_batcher, shuffle=cfg.get("shuffle_data", True)
+            )
+            if not np.isfinite(train_cost):
+                log(f"[abort] non-finite training cost at epoch {epoch}")
+                break
+            train_agg = aggregate_metrics(train_metrics, n_train, task, "training_")
+
+            row = {"epoch": epoch, "training_cost": train_cost}
+            if train_agg:
+                row.update(
+                    {
+                        k: v
+                        for k, v in train_agg.items()
+                        if np.asarray(v).ndim == 0
+                    }
+                )
+            valid_cost = None
+            if valid_batcher is not None and valid_batcher.ds.num > 0:
+                ev = self.evaluate(state, valid_batcher, "validation_")
+                valid_cost = ev["cost"]
+                row["validation_cost"] = valid_cost
+                row.update(
+                    {
+                        k: float(np.asarray(v))
+                        for k, v in ev["metrics"].items()
+                        if np.asarray(v).ndim == 0
+                    }
+                )
+                if valid_cost < best_cost:
+                    best_cost = valid_cost
+                    best_epoch = epoch
+                    ckpt.save_checkpoint(
+                        ckpt.ckpt_name(model_dir, "best", fold),
+                        self.state_tree(state, epoch, best_cost),
+                    )
+            history.append(row)
+
+            save_path = None
+            if save_interval and (epoch + 1) % save_interval == 0:
+                save_path = ckpt.save_checkpoint(
+                    ckpt.ckpt_name(model_dir, f"{epoch + 1:05d}", fold),
+                    self.state_tree(state, epoch, best_cost),
+                )
+
+            acc_bit = ""
+            if "training_accuracy" in row:
+                acc_bit = f" (acc={row['training_accuracy']:.4g})"
+            v_bit = ""
+            if valid_cost is not None:
+                vacc = row.get("validation_accuracy")
+                v_bit = f", validation cost {valid_cost:.6g}" + (
+                    f" (acc={vacc:.4g})" if vacc is not None else ""
+                )
+            s_bit = f" ([SAVE] {save_path})" if save_path else ""
+            log(
+                f"epoch {epoch}, training cost {train_cost:.6g}{acc_bit}"
+                f"{v_bit} (count={es.count}){s_bit}"
+            )
+
+            if valid_cost is not None and es.update(valid_cost):
+                log("[stop] by validation")
+                break
+
+        # restore best before final eval (reference: kgcn/core.py:340-356)
+        if best_epoch >= 0:
+            tree = ckpt.load_checkpoint(
+                ckpt.ckpt_name(model_dir, "best", fold),
+                self.state_tree(state, 0, 0.0),
+            )
+            state = state.replace(
+                params=tree["params"], batch_stats=tree["batch_stats"]
+            )
+            log(f"[restore] best epoch {best_epoch} (cost {best_cost:.6g})")
+        ckpt.save_checkpoint(
+            ckpt.ckpt_name(model_dir, "last", fold),
+            self.state_tree(state, epochs, best_cost),
+        )
+        return state, {
+            "history": history,
+            "best_epoch": best_epoch,
+            "best_validation_cost": None if best_epoch < 0 else float(best_cost),
+            "training_time": time.time() - t0,
+        }
+
+    def state_tree(self, state: TrainState, epoch: int, best_cost: float):
+        return {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": state.rng,
+            "epoch": np.int32(epoch),
+            "best_cost": np.float32(best_cost),
+        }
+
+    def restore(self, state: TrainState, path: str) -> TrainState:
+        tree = ckpt.load_checkpoint(path, self.state_tree(state, 0, 0.0))
+        return state.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=jnp.asarray(tree["step"]),
+            rng=jnp.asarray(tree["rng"]),
+        )
