@@ -1,0 +1,352 @@
+"""``kgcn-tpu`` command-line driver.
+
+Reference-compatible subcommands (gcn.py:780-788): ``train``, ``train_cv``,
+``infer``/``predict``, ``visualize`` — same JSON config files, same
+``save_info_*`` / ``save_result_*`` output schema (gcn.py:296-353,452-524),
+TPU-native execution underneath.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class NumpyEncoder(json.JSONEncoder):
+    """JSON encoder for numpy types (reference: NumPyArangeEncoder)."""
+
+    def default(self, obj):
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        return super().default(obj)
+
+
+def _save_json(path: str, payload: Dict[str, Any]) -> None:
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    print(f"[SAVE] {path}")
+    with open(path, "w") as fp:
+        json.dump(payload, fp, indent=4, cls=NumpyEncoder)
+
+
+def save_prediction(filename: str, prediction_data) -> None:
+    """CSV prediction dump (reference: gcn.py:59-81)."""
+    d = os.path.dirname(filename)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    pred = np.asarray(prediction_data)
+    print(f"[SAVE] {filename}")
+    with open(filename, "w") as fp:
+        for row in pred.reshape(len(pred), -1):
+            fp.write(",".join(f"{v:.6g}" for v in row) + "\n")
+
+
+def _metric_name(task: str) -> str:
+    return (
+        "mse"
+        if task == "regression"
+        else "gmfe" if task == "regression_gmfe" else "accuracy"
+    )
+
+
+def _prepare(config, test_mode=False, dataset_key="dataset"):
+    from kgcn_tpu.data import load_jbl
+
+    ds, info = load_jbl(config[dataset_key], config, test_mode=test_mode)
+    if config.get("param"):
+        param = config["param"]
+        if isinstance(param, str):
+            with open(param) as f:
+                param = json.load(f)
+        info.param = param
+    return ds, info
+
+
+def _make_trainer(config, info):
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.train import Trainer
+
+    model = build_model(config["model.py"], info, config)
+    return Trainer(model, config, info)
+
+
+def _fit_once(config, train_ds, valid_ds, info, fold: Optional[int] = None,
+              seed: Optional[int] = None):
+    from kgcn_tpu.data import Batcher
+
+    trainer = _make_trainer(config, info)
+    bs = int(config["batch_size"])
+    tb = Batcher(train_ds, info, bs, seed=seed or 0)
+    vb = Batcher(valid_ds, info, bs) if valid_ds is not None else None
+    state = trainer.init_state(tb.make_batch(np.arange(min(bs, train_ds.num))),
+                               seed=seed if seed is not None else int(config.get("seed", 0)))
+    if config.get("retrain"):
+        state = trainer.restore(state, config["retrain"])
+        print(f"[LOAD] {config['retrain']}")
+    state, fit_info = trainer.fit(state, tb, vb, fold=fold)
+    return trainer, state, fit_info, vb
+
+
+def cmd_train(config) -> Dict[str, Any]:
+    from kgcn_tpu.data import split_dataset
+    from kgcn_tpu.runtime.metrics import compute_metrics
+
+    task = config.get("task", "")
+    if config.get("validation_dataset"):
+        train_ds, info = _prepare(config)
+        valid_ds, valid_info = _prepare(config, dataset_key="validation_dataset")
+        info.graph_node_num = max(info.graph_node_num, valid_info.graph_node_num)
+        valid_ds.max_node_num = train_ds.max_node_num = max(
+            train_ds.max_node_num, valid_ds.max_node_num
+        )
+    else:
+        ds, info = _prepare(config)
+        train_ds, valid_ds, _, _ = split_dataset(
+            ds, config.get("validation_data_rate", 0.3),
+            seed=int(config.get("seed", 0)),
+            shuffle=bool(config.get("shuffle_data", True)),
+        )
+
+    t0 = time.time()
+    trainer, state, fit_info, vb = _fit_once(config, train_ds, valid_ds, info)
+    train_time = time.time() - t0
+    print(f"training time: {train_time}[sec]")
+
+    result: Dict[str, Any] = {"train_time": train_time}
+    metric_name = _metric_name(task)
+    if vb is not None and valid_ds.num > 0:
+        t0 = time.time()
+        ev = trainer.evaluate(state, vb, "validation_")
+        infer_time = time.time() - t0
+        valid_metrics = {
+            k: v for k, v in ev["metrics"].items() if np.asarray(v).ndim <= 1
+        }
+        print(
+            f"final cost = {ev['cost']}\n"
+            f"{metric_name} = {valid_metrics.get('validation_' + metric_name)}\n"
+            f"validation time: {infer_time}[sec]"
+        )
+        result.update(
+            validation_cost=ev["cost"],
+            validation_accuracy=valid_metrics,
+            infer_time=infer_time,
+        )
+        if task != "link_prediction" and valid_ds.labels is not None:
+            result["valid_metrics"] = compute_metrics(
+                config, valid_ds.labels, ev["prediction"], valid_ds.mask_label
+            )
+        if config.get("save_result_valid"):
+            save_prediction(config["save_result_valid"], ev["prediction"])
+        if config.get("save_info_valid"):
+            _save_json(config["save_info_valid"], result)
+
+    if config.get("save_info_train"):
+        hist = fit_info["history"]
+        payload = {
+            "training_cost": [h["training_cost"] for h in hist],
+            "validation_cost": [h.get("validation_cost") for h in hist],
+            "training_acc": [h.get("training_accuracy") for h in hist],
+            "validation_acc": [h.get("validation_accuracy") for h in hist],
+            "train_time": train_time,
+        }
+        _save_json(config["save_info_train"], payload)
+    if config.get("make_plot"):
+        from kgcn_tpu.tools import plots
+
+        plots.plot_cost(config, fit_info["history"])
+        if vb is not None and valid_ds.labels is not None and task not in (
+            "regression", "regression_gmfe", "link_prediction"
+        ):
+            plots.plot_auc(config, valid_ds.labels, np.array(ev["prediction"]))
+    return result
+
+
+def cmd_train_cv(config) -> Dict[str, Any]:
+    """K-fold CV (reference: gcn.py:355-524)."""
+    from kgcn_tpu.data import kfold_indices
+    from kgcn_tpu.runtime.metrics import compute_metrics
+
+    ds, info = _prepare(config)
+    k = int(config.get("k-fold_num", 2))
+    strat = None
+    if config.get("stratified_kfold") and ds.labels is not None:
+        strat = np.argmax(ds.labels, axis=1)
+    folds = kfold_indices(ds.num, k, seed=int(config.get("seed", 0)), stratify=strat)
+
+    fold_results = []
+    metric_name = _metric_name(config.get("task", ""))
+    for fold, (train_idx, test_idx) in enumerate(folds):
+        print(f"[fold {fold}] train={len(train_idx)} test={len(test_idx)}")
+        train_ds = ds.subset(train_idx)
+        test_ds = ds.subset(test_idx)
+        trainer, state, fit_info, _ = _fit_once(
+            config, train_ds, test_ds, info, fold=fold,
+            seed=int(config.get("seed", 0)) + fold,
+        )
+        from kgcn_tpu.data import Batcher
+
+        test_b = Batcher(test_ds, info, int(config["batch_size"]))
+        ev = trainer.evaluate(state, test_b, "test_")
+        entry = {
+            "fold": fold,
+            "test_cost": ev["cost"],
+            f"test_{metric_name}": float(
+                np.asarray(ev["metrics"].get(f"test_{metric_name}", np.nan)).mean()
+            ),
+        }
+        if config.get("task") != "link_prediction" and test_ds.labels is not None:
+            entry["test_metrics"] = compute_metrics(
+                config, test_ds.labels, ev["prediction"], test_ds.mask_label
+            )
+        fold_results.append(entry)
+        if config.get("save_result_test"):
+            base, ext = os.path.splitext(config["save_result_test"])
+            save_prediction(f"{base}.fold{fold}{ext}", ev["prediction"])
+
+    accs = [r.get(f"test_{metric_name}", np.nan) for r in fold_results]
+    summary = {
+        "folds": fold_results,
+        f"mean_{metric_name}": float(np.nanmean(accs)),
+        f"std_{metric_name}": float(np.nanstd(accs)),
+    }
+    print(f"cv {metric_name}: mean={summary[f'mean_{metric_name}']:.4f} "
+          f"std={summary[f'std_{metric_name}']:.4f}")
+    if config.get("save_info_cv"):
+        _save_json(config["save_info_cv"], summary)
+    if config.get("save_result_cv"):
+        _save_json(config["save_result_cv"], summary)
+    return summary
+
+
+def cmd_infer(config) -> Dict[str, Any]:
+    """Inference with a restored checkpoint (reference: gcn.py:527-621)."""
+    from kgcn_tpu.data import Batcher
+    from kgcn_tpu.runtime.metrics import compute_metrics
+
+    ds, info = _prepare(config, test_mode=True)
+    trainer = _make_trainer(config, info)
+    bs = int(config["batch_size"])
+    b = Batcher(ds, info, bs)
+    state = trainer.init_state(b.make_batch(np.arange(min(bs, ds.num))), seed=0)
+    load_path = config.get("load_model") or os.path.join(
+        config.get("save_model_path", "model"), "model.best.ckpt"
+    )
+    if not os.path.exists(load_path):
+        alt = os.path.join(config.get("save_model_path", "model"), "model.last.ckpt")
+        if os.path.exists(alt):
+            load_path = alt
+    state = trainer.restore(state, load_path)
+    print(f"[LOAD] {load_path}")
+
+    t0 = time.time()
+    ev = trainer.evaluate(state, b, "test_")
+    infer_time = time.time() - t0
+    print(f"infer time: {infer_time}[sec]")
+    result: Dict[str, Any] = {"infer_time": infer_time, "test_cost": ev["cost"]}
+    result["test_metrics_protocol"] = {
+        k: np.asarray(v).tolist() for k, v in ev["metrics"].items()
+    }
+    if ds.labels is not None and config.get("task") != "link_prediction":
+        result["test_metrics"] = compute_metrics(
+            config, ds.labels, ev["prediction"], ds.mask_label
+        )
+    if config.get("save_result_test"):
+        save_prediction(config["save_result_test"], ev["prediction"])
+    if config.get("save_info_test"):
+        _save_json(config["save_info_test"], result)
+    if config.get("prediction_data") or config.get("save_prediction_data"):
+        import joblib
+
+        path = config.get("prediction_data") or config.get("save_prediction_data")
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        joblib.dump(ev["prediction"], path)
+        print(f"[SAVE] {path}")
+    return result
+
+
+def cmd_visualize(config) -> None:
+    """Integrated-gradients visualisation (reference: gcn.py:637-657)."""
+    from kgcn_tpu.explain.ig import run_visualization
+
+    run_visualization(config)
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(prog="kgcn-tpu", description=__doc__)
+    p.add_argument("mode", choices=["train", "train_cv", "infer", "predict",
+                                    "visualize"])
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--save-config", default=None, help="dump merged config")
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--model", default=None, help="model registry name")
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax profiler trace of one epoch")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from kgcn_tpu.runtime.config import load_config, save_config
+
+    overrides = {
+        "dataset": args.dataset,
+        "model.py": args.model,
+        "epoch": args.epoch,
+        "batch_size": args.batch_size,
+        "learning_rate": args.learning_rate,
+        "seed": args.seed,
+    }
+    if args.profile:
+        overrides["profile"] = True
+    config = load_config(args.config, overrides)
+    if args.save_config:
+        save_config(config, args.save_config)
+
+    prof_dir = None
+    if config.get("profile"):
+        import jax
+
+        prof_dir = config.get("profile_dir", "logs/jax_trace")
+        os.makedirs(prof_dir, exist_ok=True)
+        jax.profiler.start_trace(prof_dir)
+        print(f"[PROFILE] tracing to {prof_dir}")
+
+    try:
+        if args.mode == "train":
+            cmd_train(config)
+        elif args.mode == "train_cv":
+            cmd_train_cv(config)
+        elif args.mode in ("infer", "predict"):
+            cmd_infer(config)
+        elif args.mode == "visualize":
+            cmd_visualize(config)
+    finally:
+        if prof_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[PROFILE] trace written to {prof_dir}")
+
+
+if __name__ == "__main__":
+    main()
