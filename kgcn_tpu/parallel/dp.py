@@ -1,0 +1,186 @@
+"""Data-parallel training over a device mesh (shard_map + psum).
+
+The TPU-native replacement for the reference's shell-level multi-process
+parallelism (SURVEY.md §2.11): the global batch is a stack of per-device
+local ``Batch`` pytrees; ``shard_map`` places one local batch per device,
+gradients/metrics are reduced with ``psum``/``pmean`` over the ICI, and
+parameters stay replicated.  Because every local batch has identical static
+shapes, the whole step is one compiled SPMD program.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from kgcn_tpu.data.batcher import Batch, Batcher
+from kgcn_tpu.runtime.train import Trainer, TrainState
+
+
+def stack_batches(batches) -> Batch:
+    """Stack per-device local batches along a new leading device axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+class ShardedBatcher:
+    """Wraps a Batcher: each yielded batch is a [D, ...] stack of local
+    batches (device d gets graphs d*B_loc:(d+1)*B_loc of the global batch)."""
+
+    def __init__(self, batcher: Batcher, num_shards: int):
+        self.b = batcher
+        self.num_shards = num_shards
+        self.ds = batcher.ds
+        self.global_batch = batcher.batch_size * num_shards
+
+    @property
+    def batch_size(self):
+        return self.global_batch
+
+    def make_batch(self, idx: np.ndarray) -> Batch:
+        per = self.b.batch_size
+        shards = []
+        for d in range(self.num_shards):
+            shards.append(self.b.make_batch(idx[d * per : (d + 1) * per]))
+        return stack_batches(shards)
+
+    def batches(self, shuffle: bool = True):
+        idx = self.b.epoch_indices(shuffle)
+        for start in range(0, len(idx), self.global_batch):
+            yield self.make_batch(idx[start : start + self.global_batch])
+
+
+def _local(tree):
+    """Strip the (now size-1) leading device axis inside shard_map."""
+    return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+class DPTrainer(Trainer):
+    """Trainer whose steps are shard_mapped over a mesh's ``data`` axis."""
+
+    def __init__(self, model, config, info=None, tx=None, *,
+                 mesh: Mesh, axis: str = "data"):
+        super().__init__(model, config, info, tx)
+        self.mesh = mesh
+        self.axis = axis
+
+    def init_state(self, sample_batch: Batch, seed: int = 0) -> TrainState:
+        # sample_batch is a stacked [D, ...] batch; init from one local shard
+        return super().init_state(_local(sample_batch), seed)
+
+    def _make_train_step(self):
+        model, tx, axis = self.model, self.tx, self.axis
+
+        def loss_fn(params, batch_stats, batch, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            out, updates = model.apply(
+                variables, batch, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
+
+        def local_step(params, batch_stats, opt_state, step, rng, batch):
+            batch = _local(batch)
+            d = jax.lax.axis_index(axis)
+            local_rng = jax.random.fold_in(jax.random.fold_in(rng, step), d)
+            grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                params, batch_stats, batch, local_rng
+            )
+            grads = jax.lax.pmean(grads, axis)
+            new_stats = jax.lax.pmean(new_stats, axis)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            cost_sum = jax.lax.psum(out.cost_sum, axis)
+            metrics = jax.lax.psum(out.metrics, axis)
+            return new_params, new_stats, new_opt, cost_sum, metrics
+
+        sharded = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(self.axis)),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, batch: Batch):
+            rng, sub = jax.random.split(state.rng)
+            new_params, new_stats, new_opt, cost_sum, metrics = sharded(
+                state.params, state.batch_stats, state.opt_state, state.step,
+                sub, batch,
+            )
+            new_state = state.replace(
+                params=new_params, batch_stats=new_stats, opt_state=new_opt,
+                step=state.step + 1, rng=rng,
+            )
+            return new_state, cost_sum, metrics
+
+        return step
+
+    def _make_eval_step(self):
+        model, axis = self.model, self.axis
+
+        def local_eval(params, batch_stats, batch):
+            batch = _local(batch)
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch,
+                train=False,
+            )
+            cost_sum = jax.lax.psum(out.cost_sum, axis)
+            metrics = jax.lax.psum(out.metrics, axis)
+            # keep per-device predictions stacked so the caller sees [D, B, ...]
+            pred = jax.tree_util.tree_map(lambda x: x[None], out.prediction)
+            return pred, cost_sum, metrics
+
+        sharded = shard_map(
+            local_eval,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(self.axis)),
+            out_specs=(P(self.axis), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def evaluate(self, state: TrainState, batcher, key_prefix=""):
+        """Like Trainer.evaluate but flattens the device axis of predictions
+        and pad masks."""
+        from kgcn_tpu.runtime.metrics import aggregate_metrics
+
+        cost_total, n_total = 0.0, 0
+        metric_list, preds = [], []
+        for batch in batcher.batches(shuffle=False):
+            pred, cost_sum, metrics = self.eval_step(
+                state.params, state.batch_stats, batch
+            )
+            pad = np.asarray(batch.pad_mask).reshape(-1)
+            n_valid = int(pad.sum())
+            cost_total += float(cost_sum)
+            n_total += n_valid
+            metric_list.append(jax.device_get(metrics))
+            pred_np = jax.device_get(pred)
+            flat = (
+                {k: v.reshape(-1, *v.shape[2:])[pad > 0] for k, v in pred_np.items()}
+                if isinstance(pred_np, dict)
+                else pred_np.reshape(-1, *pred_np.shape[2:])[pad > 0]
+            )
+            preds.append(flat)
+        agg = aggregate_metrics(
+            metric_list, n_total, self.config.get("task", ""), key_prefix
+        )
+        if preds and isinstance(preds[0], dict):
+            prediction = {k: np.concatenate([p[k] for p in preds]) for k in preds[0]}
+        elif preds:
+            prediction = np.concatenate(preds)
+        else:
+            prediction = None
+        return {
+            "cost": cost_total / max(n_total, 1),
+            "metrics": agg or {},
+            "prediction": prediction,
+            "num": n_total,
+        }
