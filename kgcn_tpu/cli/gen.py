@@ -1,0 +1,136 @@
+"""``kgcn-tpu-gen`` — generative (graph VAE) engine.
+
+Subcommands ``train`` / ``reconstruct`` / ``generate``
+(reference: gcn_gen.py:292-298).  Reconstruct/generate dump
+``{"feature", "dense_adj"}`` joblib files exactly like the reference
+(gcn_gen.py:144-154,192-196,225-231).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def _setup(config):
+    from kgcn_tpu.data import Batcher, load_jbl
+    from kgcn_tpu.models.vae import GCNVAE
+    from kgcn_tpu.runtime.train import Trainer
+
+    ds, info = load_jbl(config["dataset"], config)
+    model = GCNVAE(
+        channels=info.adj_channel_num,
+        feature_dim=info.feature_dim,
+        latent_dim=int(config.get("latent_dim", 64)),
+    )
+    trainer = Trainer(model, config, info)
+    bs = int(config["batch_size"])
+    batcher = Batcher(ds, info, bs, epsilon_dim=model.latent_dim,
+                      seed=int(config.get("seed", 0)))
+    return ds, info, model, trainer, batcher
+
+
+def cmd_train(config):
+    from kgcn_tpu.data import Batcher, split_dataset
+
+    ds, info, model, trainer, _ = _setup(config)
+    train_ds, valid_ds, _, _ = split_dataset(
+        ds, config.get("validation_data_rate", 0.3),
+        seed=int(config.get("seed", 0)),
+    )
+    bs = int(config["batch_size"])
+    tb = Batcher(train_ds, info, bs, epsilon_dim=model.latent_dim, seed=0)
+    vb = (
+        Batcher(valid_ds, info, bs, epsilon_dim=model.latent_dim, seed=1)
+        if valid_ds.num > 0
+        else None
+    )
+    state = trainer.init_state(tb.make_batch(np.arange(min(bs, train_ds.num))),
+                               seed=int(config.get("seed", 0)))
+    t0 = time.time()
+    state, fit_info = trainer.fit(state, tb, vb)
+    print(f"training time: {time.time() - t0}[sec]")
+    return state, fit_info
+
+
+def _restore(config, trainer, batcher, ds):
+    bs = int(config["batch_size"])
+    state = trainer.init_state(
+        batcher.make_batch(np.arange(min(bs, ds.num))), seed=0
+    )
+    path = config.get("load_model") or os.path.join(
+        config.get("save_model_path", "model"), "model.best.ckpt"
+    )
+    if not os.path.exists(path):
+        path = os.path.join(config.get("save_model_path", "model"), "model.last.ckpt")
+    state = trainer.restore(state, path)
+    print(f"[LOAD] {path}")
+    return state
+
+
+def cmd_reconstruct(config):
+    import joblib
+
+    ds, info, model, trainer, batcher = _setup(config)
+    state = _restore(config, trainer, batcher, ds)
+    ev = trainer.evaluate(state, batcher)
+    out_path = config.get("reconstruction_output", "result/reconstruction.jbl")
+    d = os.path.dirname(out_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    joblib.dump(ev["prediction"], out_path)
+    print(f"[SAVE] {out_path}")
+    return ev
+
+
+def cmd_generate(config):
+    import jax
+    import joblib
+
+    ds, info, model, trainer, batcher = _setup(config)
+    state = _restore(config, trainer, batcher, ds)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    num = int(config.get("generation_num", 10))
+    bs = int(config["batch_size"])
+    outs = []
+    gen = jax.jit(
+        lambda b: model.apply(variables, b, train=False, method=model.generate)
+    )
+    made = 0
+    while made < num:
+        batch = batcher.make_batch(np.arange(min(bs, ds.num)))
+        pred = jax.device_get(gen(batch))
+        take = min(bs, num - made)
+        outs.append({k: v[:take] for k, v in pred.items()})
+        made += take
+    result = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    out_path = config.get("generation_output", "result/generated.jbl")
+    d = os.path.dirname(out_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    joblib.dump(result, out_path)
+    print(f"[SAVE] {out_path}")
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="kgcn-tpu-gen")
+    p.add_argument("mode", choices=["train", "reconstruct", "generate"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from kgcn_tpu.runtime.config import load_config
+
+    config = load_config(args.config)
+    {"train": cmd_train, "reconstruct": cmd_reconstruct,
+     "generate": cmd_generate}[args.mode](config)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ class Batch:
     vector_modal: Optional[tuple] = None
     pad_mask: Optional[jnp.ndarray] = None  # [B] 1.0 = real example
     rng_normal: Optional[jnp.ndarray] = None  # ε for VAE reparameterisation
+    label_list: Optional[jnp.ndarray] = None  # [B, L, 6] KG preference triples
 
     @property
     def num_valid(self) -> jnp.ndarray:
@@ -163,6 +164,7 @@ class Batcher:
             ),
             vector_modal=vm,
             pad_mask=jnp.asarray(pad_mask),
+            rng_normal=eps,
         )
 
     def batches(self, shuffle: bool = True) -> Iterator[Batch]:

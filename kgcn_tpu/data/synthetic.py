@@ -106,3 +106,31 @@ def make_random_graphs(
         "mask_label": np.ones_like(label, dtype=np.int64),
         "max_node_num": np.int64(num_nodes),
     }
+
+
+def make_kg_dataset(num_entities: int = 50, num_relations: int = 2,
+                    seed: int = 0) -> Dict:
+    """Tiny multi-relation knowledge graph (jbl schema: ``node``/``node_num``/
+    ``adj``/``label_list``) with learnable structure: relation r links h to
+    (h + r + 1) mod N.  Mirrors the output of kgcn-kg preprocessing
+    (reference: kgcn/preprocessing/kg.py:78-152)."""
+    rng = np.random.RandomState(seed)
+    chans = []
+    triples = []
+    for r in range(num_relations):
+        rows = np.arange(num_entities, dtype=np.int32)
+        cols = (rows + r + 1) % num_entities
+        indices = np.stack([rows, cols], axis=1)
+        values = np.ones(num_entities, np.float32)
+        chans.append((indices, values, (num_entities, num_entities)))
+        triples.extend([(int(h), r, int(t)) for h, t in zip(rows, cols)])
+    rng.shuffle(triples)
+    label_list = np.asarray(triples, dtype=np.int32)
+    return {
+        "node": [np.arange(num_entities, dtype=np.int32)],
+        "node_num": num_entities,
+        "adj": [chans],
+        "label_list": [label_list],
+        "test_label_list": [label_list[: max(len(label_list) // 5, 1)]],
+        "max_node_num": np.int64(num_entities),
+    }

@@ -84,9 +84,10 @@ class GraphConv(nn.Module):
         w = self.param("kernel", self.kernel_init, (C, F_in, F_out))
         b = self.param("bias", nn.initializers.zeros, (C, F_out))
         if graph.dense_adj is not None:
+            from kgcn_tpu.ops.spmm import gconv_dense
+
             xb = x.reshape(graph.n_graph, graph.max_nodes, F_in)
-            hw = jnp.einsum("bnf,cfo->cbno", xb, w) + b[:, None, None, :]
-            out = spmm_dense(graph.dense_adj, hw)
+            out = gconv_dense(graph.dense_adj, xb, w, b)
             return out.reshape(graph.total_nodes, F_out)
         hw = jnp.einsum("vf,cfo->cvo", x, w) + b[:, None, :]
         return spmm_multichannel(

@@ -1,0 +1,57 @@
+"""ELL-format (padded per-row neighbour lists) aggregation.
+
+The TPU-friendly sparse layout: each node's in-edges are padded to a fixed
+``max_degree`` K, giving dense ``[V, K]`` index/weight matrices.  Aggregation
+becomes gather + weighted K-sum — **no scatter at all**, which matters on TPU
+where scatters serialise.  Molecular graphs have tiny bounded degree
+(≤ 4-6 with self loops), so padding waste is small; this is the execution
+strategy for big block-diagonal batches where the dense [B,N,N] path would
+waste O(N²) memory (the reference's analogue is the bspmm/batched custom ops,
+kgcn/bspmm_call.py, kgcn/batched_call.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def coo_to_ell(senders, receivers, weights, num_nodes: int,
+               max_degree: int | None = None):
+    """Host-side conversion: packed COO → (idx [V,K], w [V,K]).
+
+    Padding slots point at node 0 with weight 0 (harmless for weighted sums).
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    weights = np.asarray(weights)
+    valid = weights != 0
+    deg = np.zeros(num_nodes, np.int64)
+    np.add.at(deg, receivers[valid], 1)
+    K = int(max_degree or (deg.max() if len(deg) else 1) or 1)
+    idx = np.zeros((num_nodes, K), np.int32)
+    w = np.zeros((num_nodes, K), np.float32)
+    slot = np.zeros(num_nodes, np.int64)
+    for e in np.nonzero(valid)[0]:
+        r = receivers[e]
+        s = slot[r]
+        if s < K:
+            idx[r, s] = senders[e]
+            w[r, s] = weights[e]
+            slot[r] = s + 1
+    return idx, w
+
+
+def spmm_ell(idx, w, x):
+    """``out[v] = Σ_k w[v,k] · x[idx[v,k]]`` — gather + weighted sum.
+
+    idx/w: [V, K]; x: [V, F] → [V, F].  XLA lowers the gather natively and
+    fuses the multiply-reduce; fully vectorised, scatter-free.
+    """
+    gathered = x[idx]  # [V, K, F]
+    return jnp.einsum("vk,vkf->vf", w.astype(x.dtype), gathered)
+
+
+def spmm_ell_multichannel(idxs, ws, x):
+    """Channel-summed ELL spmm: idxs/ws [C, V, K] → [V, F]."""
+    gathered = x[idxs]  # [C, V, K, F]
+    return jnp.einsum("cvk,cvkf->vf", ws.astype(x.dtype), gathered)
