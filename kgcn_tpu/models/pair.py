@@ -1,0 +1,108 @@
+"""Pairwise preference ranking (RankNet) over graph pairs.
+
+Reference: gcn_pair.py driver + example_model/model_pair.py:60-172 — a shared
+GCN tower scores each graph of a preference pair (graph1 preferred over
+graph0); cost = ``−log σ(s1 − s0)`` (the RankNet loss, model_pair.py:140-142);
+``correct_count`` counts pairs ranked the right way.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax import struct
+
+from kgcn_tpu import nn as knn
+from kgcn_tpu.data.batcher import Batch, Batcher
+from kgcn_tpu.models.base import ModelOutput
+
+
+@struct.dataclass
+class PairBatch:
+    """Two aligned graph batches: ``b`` is the preferred graph of each pair."""
+
+    a: Batch
+    b: Batch
+
+    @property
+    def pad_mask(self):
+        return self.a.pad_mask
+
+
+class GCNPairRanker(nn.Module):
+    """Shared tower (GraphConv×3 + MaxPool + BN + Dense + Gather → score)
+    applied to both graphs; RankNet loss."""
+
+    channels: int = 1
+    label_dim: int = 1
+    hidden: int = 32
+    dropout_rate: float = 0.2
+
+    def setup(self):
+        self.conv1 = knn.GraphConv(self.hidden, self.channels)
+        self.conv2 = knn.GraphConv(self.hidden, self.channels)
+        self.conv3 = knn.GraphConv(self.hidden, self.channels)
+        self.maxpool = knn.GraphMaxPooling(self.channels)
+        self.bn = knn.GraphBatchNormalization()
+        self.dense = knn.GraphDense(self.hidden)
+        self.gather = knn.GraphGather()
+        self.head = nn.Dense(self.label_dim)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def tower(self, batch: Batch, train: bool):
+        g = batch.graph.with_dense_adj()
+        x = jax.nn.sigmoid(self.conv1(batch.graph.nodes, g))
+        x = jax.nn.sigmoid(self.conv2(x, g))
+        x = self.conv3(x, g)
+        x = self.maxpool(x, batch.graph)  # maxpool uses edge lists
+        x = jax.nn.sigmoid(self.bn(x, g, use_running_average=not train))
+        x = self.dropout(x, deterministic=not train)
+        x = jax.nn.sigmoid(self.dense(x, g))
+        return self.head(self.gather(x, g))  # [B, label_dim]
+
+    def __call__(self, pair: PairBatch, train: bool = False) -> ModelOutput:
+        s0 = self.tower(pair.a, train)
+        s1 = self.tower(pair.b, train)
+        mask = pair.a.pad_mask
+        # RankNet: −log σ(s1 − s0)   (model_pair.py:140-142)
+        output = 1.0 / (1.0 + jnp.exp(s0 - s1))
+        cost = -mask * jnp.log(output[:, 0] + 1.0e-10)
+        correct = mask * (s1[:, 0] > s0[:, 0]).astype(jnp.float32)
+        miss = mask * (s1[:, 0] < s0[:, 0]).astype(jnp.float32)
+        metrics = {
+            "correct_count": jnp.sum(correct),
+            "miss_count": jnp.sum(miss),
+            "count": jnp.sum(mask),
+        }
+        prediction = jnp.stack([s0, s1], axis=1)  # [B, 2, label_dim]
+        return ModelOutput(prediction, jnp.mean(cost), jnp.sum(cost), metrics)
+
+
+class PairBatcher:
+    """Yields PairBatch from a dataset + index pairs.
+
+    ``pairs[i] = (idx_worse, idx_better)`` — the reference feeds these through
+    ``graph_index_list`` (kgcn/feed_index.py:8-111, gcn_pair.py:22-112).
+    """
+
+    def __init__(self, ds, info, pairs, batch_size: int, seed: int = 0):
+        self.b0 = Batcher(ds, info, batch_size, seed=seed)
+        self.b1 = Batcher(ds, info, batch_size, seed=seed)
+        self.pairs = np.asarray(pairs)
+        self.batch_size = batch_size
+        self.ds = ds
+        self._rng = np.random.RandomState(seed)
+
+    def make_batch(self, pair_idx) -> PairBatch:
+        p = self.pairs[pair_idx]
+        return PairBatch(
+            a=self.b0.make_batch(p[:, 0]), b=self.b1.make_batch(p[:, 1])
+        )
+
+    def batches(self, shuffle: bool = True):
+        order = np.arange(len(self.pairs))
+        if shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            yield self.make_batch(order[start : start + self.batch_size])

@@ -22,6 +22,9 @@ _REFERENCE_ALIASES = {
     "example_model.model_node_label:GCN": "gcn_node_label",
     "example_model.model_multimodal:GCN": "gcn_multimodal",
     "example_model.model_vae:VAE": "gcn_vae",
+    "example_model.model_multimodal_vec:GCN": "gcn_vector_modal",
+    "example_model.model_multimodal_regression:GCN": "gcn_multimodal",
+    "sample_kg.network_prediction.model_py.distmult:DistMult": "kg_distmult",
     "model": "gcn",
 }
 
@@ -100,6 +103,65 @@ def _gcn_multitask(info, config):
         dropout_rate=float(config.get("dropout_rate", 0.2)),
         all_node_num=info.all_node_num,
         embedding_dim=int(config.get("embedding_dim", 10)),
+    )
+
+
+@register("gcn_multimodal")
+def _gcn_multimodal(info, config):
+    from kgcn_tpu.models.multimodal import GCNMultimodal
+
+    task = "regression" if "regression" in config.get("task", "") else "classification"
+    return GCNMultimodal(
+        **_common(info, config),
+        sequence_symbol_num=max(info.sequence_symbol_num, 1),
+        embedding_dim=int(config.get("embedding_dim", 10)),
+        task=task,
+    )
+
+
+@register("gcn_vector_modal")
+def _gcn_vector_modal(info, config):
+    from kgcn_tpu.models.multimodal import GCNVectorModal
+
+    task = "regression" if "regression" in config.get("task", "") else "classification"
+    return GCNVectorModal(
+        **_common(info, config),
+        num_modals=max(len(info.vector_modal_dim), 1),
+        task=task,
+    )
+
+
+@register("gcn_regression")
+def _gcn_regression(info, config):
+    from kgcn_tpu.models.multimodal import GCNRegression
+
+    return GCNRegression(
+        channels=info.adj_channel_num,
+        label_dim=info.label_dim or 1,
+        dropout_rate=float(config.get("dropout_rate", 0.2)),
+    )
+
+
+@register("gcn_vae")
+def _gcn_vae(info, config):
+    from kgcn_tpu.models.vae import GCNVAE
+
+    return GCNVAE(
+        channels=info.adj_channel_num,
+        feature_dim=info.feature_dim,
+        latent_dim=int(config.get("latent_dim", 64)),
+    )
+
+
+@register("kg_distmult")
+def _kg_distmult(info, config):
+    from kgcn_tpu.models.kg import KGLinkPredictor
+
+    return KGLinkPredictor(
+        all_node_num=info.all_node_num,
+        embedding_dim=int(config.get("embedding_dim", 10)),
+        channels=info.adj_channel_num,
+        encoder=config.get("kg_encoder", "embedding"),
     )
 
 
