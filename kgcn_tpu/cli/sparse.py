@@ -1,0 +1,147 @@
+"""``kgcn-tpu-sparse`` — TFRecord streaming sparse-GCN engine.
+
+Reference: task_sparse_gcn.py (``kgcn-sparse``): train / train_cv / infer over
+TFRecord shards with a tasks.txt task list, deterministic %-fold splits
+(task_sparse_gcn.py:248-268), accuracy + top-k eval.
+"""
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _load(config, test=False):
+    from kgcn_tpu.data.tfrecord import load_tfrecord_dataset
+
+    pattern = config["test_dataset" if test else "dataset"]
+    paths = sorted(globmod.glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no tfrecords match {pattern}")
+    return load_tfrecord_dataset(paths, config)
+
+
+def _model(config, info):
+    from kgcn_tpu.models.sparse import SparseGCN
+
+    return SparseGCN(
+        channels=info.adj_channel_num,
+        num_classes=int(config["num_classes"]),
+        out_dims=tuple(config.get("out_dims", (256, 256, 256))),
+        dense_dim=int(config.get("dense_dim", 256)),
+        batch_normalize=bool(config.get("batch_normalize", True)),
+    )
+
+
+def split_fold(n: int, fold: int, num_folds: int):
+    """Deterministic modulo split (reference: split_dataset enumerate+filter,
+    task_sparse_gcn.py:248-268): example i goes to fold i % num_folds."""
+    idx = np.arange(n)
+    valid = idx[idx % num_folds == fold]
+    train = idx[idx % num_folds != fold]
+    return train, valid
+
+
+def cmd_train(config, fold: int = 0):
+    from kgcn_tpu.data import Batcher
+    from kgcn_tpu.runtime.metrics import aggregate_metrics
+    from kgcn_tpu.runtime.train import Trainer
+
+    ds, info = _load(config)
+    num_folds = int(config.get("num_folds", 5))
+    tr_idx, va_idx = split_fold(ds.num, fold, num_folds)
+    train_ds, valid_ds = ds.subset(tr_idx), ds.subset(va_idx)
+    model = _model(config, info)
+    trainer = Trainer(model, config, info)
+    bs = int(config["batch_size"])
+    tb = Batcher(train_ds, info, bs, seed=int(config.get("seed", 0)))
+    vb = Batcher(valid_ds, info, bs)
+    state = trainer.init_state(tb.make_batch(np.arange(min(bs, train_ds.num))),
+                               seed=int(config.get("seed", 0)))
+    t0 = time.time()
+    state, fit_info = trainer.fit(state, tb, vb, fold=fold)
+    print(f"training time: {time.time() - t0}[sec]")
+    ev = trainer.evaluate(state, vb, "valid_")
+    _report(config, ev, "valid")
+    return state, trainer, info, ev
+
+
+def _report(config, ev, tag):
+    m = {k: float(np.asarray(v)) for k, v in ev["metrics"].items()
+         if np.asarray(v).ndim == 0}
+    n = max(ev["num"], 1)
+    out = {f"{tag}_cost": ev["cost"]}
+    for key, v in m.items():
+        if key.endswith("_count") and not key.endswith("correct_count"):
+            out[key.replace("_count", "")] = v / n
+    if f"{tag}_accuracy" in m:
+        out[f"{tag}_accuracy"] = m[f"{tag}_accuracy"]
+    print(json.dumps(out))
+    path = config.get(f"save_info_{tag}")
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"[SAVE] {path}")
+    return out
+
+
+def cmd_infer(config):
+    from kgcn_tpu.data import Batcher
+    from kgcn_tpu.runtime.train import Trainer
+
+    ds, info = _load(config, test=True)
+    model = _model(config, info)
+    trainer = Trainer(model, config, info)
+    bs = int(config["batch_size"])
+    b = Batcher(ds, info, bs)
+    state = trainer.init_state(b.make_batch(np.arange(min(bs, ds.num))), seed=0)
+    path = config.get("load_model") or os.path.join(
+        config.get("save_model_path", "model"), "model.0.best.ckpt"
+    )
+    state = trainer.restore(state, path)
+    print(f"[LOAD] {path}")
+    ev = trainer.evaluate(state, b, "test_")
+    _report(config, ev, "test")
+    if config.get("prediction_output"):
+        import joblib
+
+        joblib.dump(ev["prediction"], config["prediction_output"])
+        print(f"[SAVE] {config['prediction_output']}")
+    return ev
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="kgcn-tpu-sparse")
+    p.add_argument("mode", choices=["train", "train_cv", "infer"])
+    p.add_argument("--config", required=True)
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from kgcn_tpu.runtime.config import load_config
+
+    config = load_config(args.config)
+    if "tasks_file" in config and os.path.exists(config["tasks_file"]):
+        with open(config["tasks_file"]) as f:
+            config["task_names"] = [line.strip() for line in f if line.strip()]
+    if args.mode == "train":
+        cmd_train(config, fold=args.fold)
+    elif args.mode == "train_cv":
+        num_folds = int(config.get("num_folds", 5))
+        for fold in range(num_folds):
+            print(f"=== fold {fold} ===")
+            cmd_train(config, fold=fold)
+    else:
+        cmd_infer(config)
+
+
+if __name__ == "__main__":
+    main()

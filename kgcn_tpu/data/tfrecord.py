@@ -1,0 +1,289 @@
+"""Dependency-free TFRecord + tf.train.Example codec.
+
+Reads and writes the reference's molecular TFRecord schema
+(kgcn/preprocessing/utils.py:178-226, task_sparse_gcn.py:153-166):
+``adj_row/adj_column/adj_values/adj_elem_len/adj_degrees``,
+``feature_row/feature_column/feature_values/feature_elem_len``,
+``label/mask_label/size`` — without importing TensorFlow.
+
+TFRecord framing: {uint64 length, uint32 masked_crc32c(length), payload,
+uint32 masked_crc32c(payload)}.  Example protos use only three wire shapes
+(varint, packed repeated, length-delimited), decoded with a ~60-line
+protobuf wire reader.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List, Union
+
+import numpy as np
+
+# ---------------------------------------------------------------- crc32c ---
+_CRC_TABLE = []
+
+
+def _crc_table():
+    global _CRC_TABLE
+    if _CRC_TABLE:
+        return _CRC_TABLE
+    poly = 0x82F63B78  # Castagnoli, reflected
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        table.append(c)
+    _CRC_TABLE = table
+    return table
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ------------------------------------------------------------- tfrecord ----
+def read_tfrecord(path: str, verify_crc: bool = False) -> Iterator[bytes]:
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if len(header) < 12:
+                return
+            (length,) = struct.unpack("<Q", header[:8])
+            payload = f.read(length)
+            crc = f.read(4)
+            if verify_crc:
+                (want,) = struct.unpack("<I", crc)
+                assert _masked_crc(payload) == want, "payload CRC mismatch"
+            yield payload
+
+
+def write_tfrecord(path: str, records) -> None:
+    with open(path, "wb") as f:
+        for rec in records:
+            length = struct.pack("<Q", len(rec))
+            f.write(length)
+            f.write(struct.pack("<I", _masked_crc(length)))
+            f.write(rec)
+            f.write(struct.pack("<I", _masked_crc(rec)))
+
+
+# -------------------------------------------------------- protobuf wire ----
+def _read_varint(buf: bytes, pos: int):
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _write_varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _fields(buf: bytes):
+    """Iterate (field_number, wire_type, value) over one message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:  # length-delimited
+            length, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + length]
+            pos += length
+        elif wire == 5:  # 32-bit
+            val = buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:  # 64-bit
+            val = buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+FeatureValue = Union[np.ndarray, bytes, List[bytes]]
+
+
+def parse_example(payload: bytes) -> Dict[str, FeatureValue]:
+    """tf.train.Example → {name: np.ndarray (int64/float32) or list[bytes]}."""
+    out: Dict[str, FeatureValue] = {}
+    for field, _, features_buf in _fields(payload):
+        if field != 1:  # Example.features
+            continue
+        for f2, _, entry in _fields(features_buf):
+            if f2 != 1:  # Features.feature (map entry)
+                continue
+            key = None
+            value_buf = None
+            for f3, _, v in _fields(entry):
+                if f3 == 1:
+                    key = v.decode()
+                elif f3 == 2:
+                    value_buf = v
+            if key is None or value_buf is None:
+                continue
+            out[key] = _parse_feature(value_buf)
+    return out
+
+
+def _parse_feature(buf: bytes):
+    for field, _, lst in _fields(buf):
+        if field == 1:  # BytesList
+            vals = [v for f, _, v in _fields(lst) if f == 1]
+            return vals
+        if field == 2:  # FloatList
+            vals: List[float] = []
+            for f, wire, v in _fields(lst):
+                if f != 1:
+                    continue
+                if wire == 2:  # packed
+                    vals.extend(struct.unpack(f"<{len(v) // 4}f", v))
+                else:
+                    vals.append(struct.unpack("<f", v)[0])
+            return np.asarray(vals, np.float32)
+        if field == 3:  # Int64List
+            ints: List[int] = []
+            for f, wire, v in _fields(lst):
+                if f != 1:
+                    continue
+                if wire == 2:  # packed varints
+                    pos = 0
+                    while pos < len(v):
+                        x, pos = _read_varint(v, pos)
+                        if x >= 1 << 63:
+                            x -= 1 << 64
+                        ints.append(x)
+                else:
+                    if v >= 1 << 63:
+                        v -= 1 << 64
+                    ints.append(v)
+            return np.asarray(ints, np.int64)
+    return np.asarray([], np.float32)
+
+
+def _encode_field(field: int, wire: int, payload: bytes) -> bytes:
+    return _write_varint(field << 3 | wire) + (
+        _write_varint(len(payload)) + payload if wire == 2 else payload
+    )
+
+
+def _encode_feature(values) -> bytes:
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iub":
+        packed = b"".join(
+            _write_varint(int(v) & ((1 << 64) - 1)) for v in arr.ravel()
+        )
+        lst = _encode_field(1, 2, packed)
+        return _encode_field(3, 2, lst)  # Int64List
+    packed = struct.pack(f"<{arr.size}f", *arr.ravel().astype(np.float32))
+    lst = _encode_field(1, 2, packed)
+    return _encode_field(2, 2, lst)  # FloatList
+
+
+def build_example(features: Dict[str, np.ndarray]) -> bytes:
+    entries = b""
+    for key, values in features.items():
+        entry = _encode_field(1, 2, key.encode()) + _encode_field(
+            2, 2, _encode_feature(values)
+        )
+        entries += _encode_field(1, 2, entry)
+    return _encode_field(1, 2, entries)  # Example.features
+
+
+# --------------------------------------------------- reference schema ------
+def example_from_graph(adj_dense: np.ndarray, feature: np.ndarray,
+                       label=None, mask_label=None) -> bytes:
+    """Serialise one molecule exactly like the reference's
+    ``convert_to_example`` (kgcn/preprocessing/utils.py:178-214)."""
+    adj = np.asarray(adj_dense)
+    row, col = np.nonzero(adj)
+    degrees = adj.sum(axis=0)
+    adj_degrees = [
+        0 if r == c else int(degrees[r]) for r, c in zip(row, col)
+    ]
+    feature = np.asarray(feature)
+    frow, fcol = np.nonzero(feature)
+    feats = {
+        "adj_row": row.astype(np.int64),
+        "adj_column": col.astype(np.int64),
+        "adj_values": adj[row, col].astype(np.float32),
+        "adj_elem_len": np.asarray([len(row)], np.int64),
+        "adj_degrees": np.asarray(adj_degrees, np.int64),
+        "feature_row": frow.astype(np.int64),
+        "feature_column": fcol.astype(np.int64),
+        "feature_values": feature[frow, fcol].astype(np.float32),
+        "feature_elem_len": np.asarray([len(frow)], np.int64),
+        "size": np.asarray(feature.shape, np.int64),
+    }
+    if label is not None:
+        feats["label"] = np.nan_to_num(np.asarray(label)).astype(np.int64)
+        if mask_label is not None:
+            feats["mask_label"] = np.asarray(mask_label).astype(np.int64)
+    return build_example(feats)
+
+
+def load_tfrecord_dataset(paths, config=None):
+    """Parse reference-schema tfrecords into our (Dataset, DatasetInfo)."""
+    from kgcn_tpu.data.dataset import build_dataset
+
+    if isinstance(paths, str):
+        paths = [paths]
+    adjs, feats, labels, masks, sizes = [], [], [], [], []
+    max_n = 0
+    feat_dim = 0
+    for path in paths:
+        for payload in read_tfrecord(path):
+            ex = parse_example(payload)
+            n, fdim = (int(x) for x in ex["size"])
+            max_n = max(max_n, n)
+            feat_dim = max(feat_dim, fdim)
+            indices = np.stack(
+                [ex["adj_row"], ex["adj_column"]], axis=1
+            ).astype(np.int32)
+            adjs.append((indices, ex["adj_values"], (n, n)))
+            f = np.zeros((n, fdim), np.float32)
+            f[ex["feature_row"], ex["feature_column"]] = ex["feature_values"]
+            feats.append(f)
+            labels.append(ex.get("label"))
+            masks.append(ex.get("mask_label"))
+            sizes.append(n)
+    G = len(adjs)
+    features = np.zeros((G, max_n, feat_dim), np.float32)
+    for i, f in enumerate(feats):
+        features[i, : f.shape[0], : f.shape[1]] = f
+    data = {
+        "adj": adjs,
+        "feature": features,
+        "max_node_num": np.int64(max_n),
+    }
+    if labels[0] is not None:
+        data["label"] = np.stack(labels)
+        if masks[0] is not None:
+            data["mask_label"] = np.stack(masks)
+    ds, info = build_dataset(data, config or {})
+    ds.enabled_node_nums = np.asarray(sizes, np.int32)
+    return ds, info
