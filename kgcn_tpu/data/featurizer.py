@@ -1,0 +1,219 @@
+"""Molecular featurisation (RDKit-gated).
+
+Re-implementation of the reference featuriser
+(kgcn/preprocessing/utils.py:20-175): the default 81-dim atom feature vector
+(44 atom types + 17 degree one-hot + 7 implicit valence + charge + radical
+electrons + 5 hybridisation + aromatic + 5 numH), adjacency with self loops,
+Morgan fingerprints, and the deepchem-75 compat mode (drop degree dims 11-16
+and the charge/radical slots — chem.py:554-558).
+
+RDKit is not bundled in every environment; every entry point raises a clear
+error if it is missing.  The pure-array parts (one-hot helpers, padding)
+are importable regardless.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+ATOM_LIST = [
+    "C", "N", "O", "S", "F", "Si", "P", "Cl", "Br", "Mg", "Na", "Ca", "Fe",
+    "As", "Al", "I", "B", "V", "K", "Tl", "Yb", "Sb", "Sn", "Ag", "Pd", "Co",
+    "Se", "Ti", "Zn", "H", "Li", "Ge", "Cu", "Au", "Ni", "Cd", "In", "Mn",
+    "Zr", "Cr", "Pt", "Hg", "Pb", "Unknown",
+]
+DEGREE_DIM = 17
+VALENCE_SET = [0, 1, 2, 3, 4, 5, 6]
+NUM_H_SET = [0, 1, 2, 3, 4]
+FEATURE_DIM = len(ATOM_LIST) + DEGREE_DIM + len(VALENCE_SET) + 2 + 5 + 1 + len(NUM_H_SET)  # 81
+
+
+def _require_rdkit():
+    try:
+        from rdkit import Chem  # noqa: F401
+
+        return Chem
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "RDKit is required for molecular preprocessing "
+            "(conda install -c conda-forge rdkit)"
+        ) from e
+
+
+def one_of_k(x, allowable: Sequence, unk: bool = True) -> List[bool]:
+    """One-hot with optional unknown-bucket-last semantics
+    (kgcn/preprocessing/utils.py:83-94)."""
+    if x not in allowable:
+        if not unk:
+            raise ValueError(f"{x} not in {allowable}")
+        x = allowable[-1]
+    return [x == s for s in allowable]
+
+
+def atom_features(atom, degree_dim: int = DEGREE_DIM) -> np.ndarray:
+    """Default 81-dim feature vector (kgcn/preprocessing/utils.py:20-56)."""
+    from rdkit import Chem
+
+    hyb = [
+        Chem.rdchem.HybridizationType.SP,
+        Chem.rdchem.HybridizationType.SP2,
+        Chem.rdchem.HybridizationType.SP3,
+        Chem.rdchem.HybridizationType.SP3D,
+        Chem.rdchem.HybridizationType.SP3D2,
+    ]
+    feats = (
+        one_of_k(atom.GetSymbol(), ATOM_LIST)
+        + one_of_k(atom.GetDegree(), list(range(degree_dim)), unk=False)
+        + one_of_k(atom.GetImplicitValence(), VALENCE_SET)
+        + [atom.GetFormalCharge(), atom.GetNumRadicalElectrons()]
+        + one_of_k(atom.GetHybridization(), hyb)
+        + [atom.GetIsAromatic()]
+        + one_of_k(atom.GetTotalNumHs(), NUM_H_SET)
+    )
+    return np.array(feats, dtype=np.float32)
+
+
+def adjacency_matrix(mol) -> np.ndarray:
+    """RDKit adjacency + self loops (kgcn/preprocessing/utils.py:147-153)."""
+    from rdkit import Chem
+
+    adj = np.array(Chem.GetAdjacencyMatrix(mol), dtype=np.int8)
+    np.fill_diagonal(adj, 1)
+    return adj
+
+
+def mol_to_graph(mol, atom_num_limit: int, deepchem_compat: bool = False):
+    """One molecule → (padded feature [N, F], adjacency dense [n, n]) or None
+    if it exceeds the atom limit (kgcn/preprocessing/chem.py atom filter)."""
+    n = mol.GetNumAtoms()
+    if n > atom_num_limit:
+        return None
+    feats = np.stack([atom_features(a) for a in mol.GetAtoms()])
+    if deepchem_compat:
+        # 75-dim deepchem mode: degree one-hot truncated to 11, drop
+        # charge/radical slots (chem.py:554-558)
+        keep = (
+            list(range(44 + 11))
+            + list(range(44 + 17, 44 + 17 + 7))
+            + list(range(44 + 17 + 7 + 2, feats.shape[1]))
+        )
+        feats = feats[:, keep]
+    padded = np.zeros((atom_num_limit, feats.shape[1]), np.float32)
+    padded[:n] = feats
+    return padded, adjacency_matrix(mol)
+
+
+def morgan_fingerprint(mol, radius: int = 2, bits: int = 2048) -> np.ndarray:
+    """Morgan/ECFP bit vector (kgcn/preprocessing/chem.py:720-727)."""
+    from rdkit.Chem import AllChem
+
+    fp = AllChem.GetMorganFingerprintAsBitVect(mol, radius, nBits=bits)
+    return np.asarray(fp, dtype=np.float32)
+
+
+def parse_molecules(smiles: Optional[Sequence[str]] = None,
+                    sdf_path: Optional[str] = None,
+                    smarts: Optional[Sequence[str]] = None):
+    """SMILES list / SDF file / SMARTS list → list of RDKit mols (None kept
+    for unparseable entries so labels stay aligned)."""
+    Chem = _require_rdkit()
+    if smiles is not None:
+        return [Chem.MolFromSmiles(s) for s in smiles]
+    if smarts is not None:
+        return [Chem.MolFromSmarts(s) for s in smarts]
+    if sdf_path is not None:
+        return list(Chem.SDMolSupplier(sdf_path))
+    raise ValueError("one of smiles/sdf_path/smarts required")
+
+
+def build_chem_dataset(
+    mols,
+    labels: Optional[np.ndarray] = None,
+    mask_label: Optional[np.ndarray] = None,
+    atom_num_limit: int = 50,
+    *,
+    deepchem_compat: bool = False,
+    with_fingerprint: bool = False,
+    sequences: Optional[np.ndarray] = None,
+    sequence_symbol_num: Optional[int] = None,
+    vector_modal: Optional[np.ndarray] = None,
+    generate_mol_info: bool = True,
+):
+    """Assemble the jbl-schema dict from RDKit mols + aligned label arrays
+    (reference: kgcn/preprocessing/chem.py:552-770).  Skips molecules that
+    fail parsing or exceed ``atom_num_limit`` — labels are filtered in sync.
+    """
+    feats, adjs, keep = [], [], []
+    for i, mol in enumerate(mols):
+        if mol is None:
+            continue
+        try:
+            from rdkit import Chem
+
+            Chem.SanitizeMol(mol, catchErrors=True)
+        except Exception:
+            pass
+        out = mol_to_graph(mol, atom_num_limit, deepchem_compat)
+        if out is None:
+            continue
+        f, a = out
+        feats.append(f)
+        adjs.append(a)
+        keep.append(i)
+    keep = np.asarray(keep, dtype=np.int64)
+    n = len(keep)
+    max_n = atom_num_limit
+    data = {
+        "feature": np.stack(feats) if n else np.zeros((0, max_n, FEATURE_DIM)),
+        "adj": [
+            (
+                np.stack(np.nonzero(a), axis=1).astype(np.int32),
+                a[np.nonzero(a)].astype(np.float32),
+                (max_n, max_n),
+            )
+            for a in adjs
+        ],
+        "max_node_num": np.int64(max_n),
+    }
+    if labels is not None:
+        labels = np.asarray(labels)[keep]
+        data["label"] = labels
+        if mask_label is not None:
+            data["mask_label"] = np.asarray(mask_label)[keep]
+        else:
+            # NaN labels → masked slots (chem.py:436-490 assay-matrix mode)
+            mask = (~np.isnan(labels.astype(np.float64))).astype(np.int64)
+            data["mask_label"] = mask
+            data["label"] = np.nan_to_num(labels)
+    if sequences is not None:
+        seqs = np.asarray(sequences)[keep]
+        data["sequence"] = seqs.astype(np.int32)
+        data["sequence_length"] = [int((s != 0).sum()) for s in seqs]
+        data["sequence_symbol_num"] = np.int64(
+            sequence_symbol_num or int(seqs.max()) + 1
+        )
+    if vector_modal is not None:
+        data["vector_modal"] = np.asarray(vector_modal)[keep].astype(np.float32)
+    if with_fingerprint:
+        data["chemical_fp"] = np.stack(
+            [morgan_fingerprint(mols[i]) for i in keep]
+        )
+    if generate_mol_info:
+        data["mol_info"] = {
+            "obj_list": [mols[i] for i in keep],
+            "index_list": keep.tolist(),
+        }
+    return data
+
+
+AMINO_ACIDS = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def encode_protein_sequence(seq: str, max_len: int) -> np.ndarray:
+    """Amino-acid sequence → int codes (1..20; 0 = pad), the CPI multimodal
+    sequence modality (reference: chem.py:192-269 multimodal assembly)."""
+    codes = np.zeros((max_len,), np.int32)
+    for i, ch in enumerate(seq[:max_len]):
+        codes[i] = AMINO_ACIDS.index(ch) + 1 if ch in AMINO_ACIDS else len(AMINO_ACIDS) + 1
+    return codes

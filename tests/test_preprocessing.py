@@ -1,0 +1,104 @@
+"""Preprocessing CLI tests (kg / cv-splitter / join; chem gated on RDKit)."""
+import os
+
+import joblib
+import numpy as np
+import pytest
+
+from kgcn_tpu.data.synthetic import make_ring_dataset
+
+
+def test_kg_cli_end_to_end(tmp_path):
+    from kgcn_tpu.cli.kg import main as kg_main
+
+    tsv = tmp_path / "triples.tsv"
+    rng = np.random.RandomState(0)
+    with open(tsv, "w") as f:
+        for i in range(40):
+            f.write(f"e{i}\tr{i % 2}\te{(i + 1) % 40}\n")
+    out = tmp_path / "kg.jbl"
+    kg_main(["--input", str(tsv), "--output", str(out), "--test-rate", "0.1"])
+    data = joblib.load(out)
+    assert data["node_num"] == 40
+    assert len(data["adj"][0]) == 2  # one channel per relation
+    assert data["label_list"][0].shape[1] == 6
+    # reverse + self edges present
+    idx, val, shape = data["adj"][0][0]
+    pairs = set(map(tuple, idx))
+    assert (0, 0) in pairs  # self loop
+    some = next(iter(p for p in pairs if p[0] != p[1]))
+    assert (some[1], some[0]) in pairs  # reverse edge
+    # it trains
+    from kgcn_tpu.data import build_dataset
+    from kgcn_tpu.models.kg import KGBatcher, KGLinkPredictor
+    from kgcn_tpu.runtime.config import default_config
+    from kgcn_tpu.runtime.train import Trainer
+
+    cfg = default_config()
+    cfg.update({"with_feature": False, "with_node_embedding": True,
+                "task": "link_prediction", "save_interval": 0})
+    ds, info = build_dataset(data, cfg)
+    model = KGLinkPredictor(all_node_num=40, embedding_dim=8,
+                            channels=info.adj_channel_num)
+    trainer = Trainer(model, cfg, info)
+    kb = KGBatcher(ds, info, label_batch_size=32, seed=0)
+    state = trainer.init_state(next(kb.batches()), seed=0)
+    state, cost, _, _ = trainer.run_epoch(state, kb)
+    assert np.isfinite(cost)
+
+
+def test_cv_splitter_cli(tmp_path):
+    from kgcn_tpu.cli.cv_splitter import main as cv_main
+
+    src = tmp_path / "data.jbl"
+    joblib.dump(make_ring_dataset(num_pairs=10, seed=0), src)
+    cv_main(["--input", str(src), "--output-dir", str(tmp_path), "--fold", "4"])
+    files = sorted(p for p in os.listdir(tmp_path) if "fold" in p)
+    assert len(files) == 8  # 4 folds × train/test
+    tr = joblib.load(tmp_path / "data.fold0.train.jbl")
+    te = joblib.load(tmp_path / "data.fold0.test.jbl")
+    assert len(tr["label"]) + len(te["label"]) == 20
+    assert tr["feature"].shape[1:] == (10, 3)
+    # folds are loadable by the training pipeline
+    from kgcn_tpu.data import build_dataset
+
+    ds, info = build_dataset(tr, {})
+    assert ds.num == len(tr["label"])
+
+
+def test_join_cli(tmp_path):
+    from kgcn_tpu.cli.data_join import main as join_main
+
+    a = tmp_path / "a.jbl"
+    b = tmp_path / "b.jbl"
+    joblib.dump(make_ring_dataset(num_pairs=5, seed=0), a)
+    joblib.dump(make_ring_dataset(num_pairs=7, seed=1), b)
+    out = tmp_path / "joined.jbl"
+    join_main(["--input", str(a), str(b), "--output", str(out)])
+    data = joblib.load(out)
+    assert len(data["label"]) == 24
+    assert data["dense_adj"].shape == (24, 10, 10)
+
+    # modal attach
+    mat = np.random.RandomState(0).standard_normal((24, 6)).astype(np.float32)
+    np.savetxt(tmp_path / "modal.csv", mat, delimiter=",")
+    out2 = tmp_path / "with_modal.jbl"
+    join_main(["--input", str(out), "--output", str(out2),
+               "--modal-csv", str(tmp_path / "modal.csv"),
+               "--modal-name", "profeat"])
+    d2 = joblib.load(out2)
+    assert d2["profeat"].shape == (24, 6)
+
+
+def test_chem_featurizer_pure_parts():
+    from kgcn_tpu.data.featurizer import FEATURE_DIM, one_of_k, encode_protein_sequence
+
+    assert FEATURE_DIM == 81  # reference's documented 81-dim features
+    assert one_of_k("C", ["C", "N", "Unknown"]) == [True, False, False]
+    assert one_of_k("Xx", ["C", "N", "Unknown"]) == [False, False, True]
+    seq = encode_protein_sequence("ACDX", 6)
+    assert seq.tolist() == [1, 2, 3, 21, 0, 0]
+
+
+def test_chem_cli_requires_rdkit(tmp_path):
+    pytest.importorskip("rdkit", reason="RDKit not in this image")
