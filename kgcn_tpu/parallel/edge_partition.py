@@ -1,0 +1,140 @@
+"""Edge-partitioned SpMM across a device mesh — the GNN analogue of
+sequence/context parallelism (SURVEY.md §2.11: "graph/edge partitioning").
+
+Workload: ONE giant graph (whole-KG training, protein-interaction networks —
+the reference runs these batch=1 on a single device, sample_kg) whose nodes
+and edges no longer fit one chip.
+
+Design:
+
+* nodes are partitioned into D contiguous blocks; device d owns feature rows
+  ``x[d·V/D : (d+1)·V/D]``;
+* edges are partitioned by RECEIVER block, so the scatter side of every
+  aggregation is device-local;
+* sender features may live on another device.  Two halo strategies:
+  - ``allgather``: one ``all_gather`` of the node blocks, then a fully local
+    gather/scatter.  Simple; memory O(V·F) per device.
+  - ``ring``: D steps of ``ppermute`` rotate node blocks around the ring
+    while each device aggregates the edge group whose sender block just
+    arrived — compute overlaps the collective, and per-device memory stays
+    O(V/D·F).  This is the ring-attention-style schedule adapted to
+    segment-sum aggregation.
+
+Host-side, edges of receiver-block d are grouped by sender-block *offset*
+``o = (d − sender_block) mod D`` (the block a device holds after o ring
+hops), padded to a common static budget per group.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+class PartitionedEdges(NamedTuple):
+    """Static edge partition for a D-device ring.
+
+    senders_local: [D, D, E] — ``[d, o]`` = edges of receiver-block d whose
+        sender block is ``(d − o) mod D``, sender index local to that block.
+    receivers_local: [D, D, E] — receiver index local to block d.
+    weights: [D, D, E] — 0 marks padding.
+    v_local: nodes per block (V must divide D·v_local).
+    """
+
+    senders_local: np.ndarray
+    receivers_local: np.ndarray
+    weights: np.ndarray
+    v_local: int
+
+
+def partition_edges(senders, receivers, weights, num_nodes: int,
+                    num_devices: int) -> PartitionedEdges:
+    """Host-side grouping of a COO edge list for the ring schedule."""
+    D = num_devices
+    assert num_nodes % D == 0, f"pad num_nodes {num_nodes} to a multiple of {D}"
+    v_loc = num_nodes // D
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    w = np.asarray(weights)
+    valid = w != 0
+    s, r, w = s[valid], r[valid], w[valid]
+    rb = r // v_loc
+    sb = s // v_loc
+    off = (rb - sb) % D
+
+    groups = [[None] * D for _ in range(D)]
+    budget = 1
+    for d in range(D):
+        for o in range(D):
+            pick = (rb == d) & (off == o)
+            budget = max(budget, int(pick.sum()))
+    budget = ((budget + 127) // 128) * 128  # lane-round the static budget
+
+    sl = np.zeros((D, D, budget), np.int32)
+    rl = np.zeros((D, D, budget), np.int32)
+    wl = np.zeros((D, D, budget), np.float32)
+    for d in range(D):
+        for o in range(D):
+            pick = (rb == d) & (off == o)
+            k = int(pick.sum())
+            sl[d, o, :k] = s[pick] % v_loc
+            rl[d, o, :k] = r[pick] % v_loc
+            wl[d, o, :k] = w[pick]
+    return PartitionedEdges(sl, rl, wl, v_loc)
+
+
+def spmm_edge_partitioned(part: PartitionedEdges, x, mesh: Mesh,
+                          axis: str = "data", strategy: str = "ring"):
+    """Distributed ``out[r] = Σ w_e x[s_e]`` over the mesh.
+
+    ``x``: [V, F] sharded row-blocks (or replicated host array; the shard_map
+    in_spec slices it).  Returns [V, F] with the same block sharding.
+    """
+    D = mesh.shape[axis]
+    v_loc = part.v_local
+    sl = jnp.asarray(part.senders_local)
+    rl = jnp.asarray(part.receivers_local)
+    wl = jnp.asarray(part.weights)
+
+    def local_allgather(x_blk, s_d, r_d, w_d):
+        x_blk = x_blk.reshape(v_loc, -1)
+        s_d, r_d, w_d = s_d[0], r_d[0], w_d[0]
+        x_full = jax.lax.all_gather(x_blk, axis)  # [D, v_loc, F]
+        d = jax.lax.axis_index(axis)
+        acc = jnp.zeros_like(x_blk)
+        for o in range(D):
+            src_blk = (d - o) % D
+            gathered = x_full[src_blk][s_d[o]] * w_d[o][:, None]
+            acc = acc + jax.ops.segment_sum(gathered, r_d[o], num_segments=v_loc)
+        return acc
+
+    def local_ring(x_blk, s_d, r_d, w_d):
+        x_blk = x_blk.reshape(v_loc, -1)
+        s_d, r_d, w_d = s_d[0], r_d[0], w_d[0]
+        perm = [(i, (i + 1) % D) for i in range(D)]
+        # statically unrolled ring: XLA can overlap each ppermute with the
+        # next offset's gather/segment-sum
+        x_rot = x_blk
+        acc = jnp.zeros_like(x_blk)
+        for o in range(D):
+            gathered = x_rot[s_d[o]] * w_d[o][:, None]
+            acc = acc + jax.ops.segment_sum(gathered, r_d[o], num_segments=v_loc)
+            if o + 1 < D:
+                x_rot = jax.lax.ppermute(x_rot, axis, perm)
+        return acc
+
+    fn = local_ring if strategy == "ring" else local_allgather
+    return jax.jit(
+        shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )(x, sl, rl, wl)

@@ -1,0 +1,86 @@
+"""Scaling-efficiency benchmark harness (BASELINE.json: ≥80% edges/s scaling
+1 chip → 1 host → N hosts).
+
+Measures edge-partitioned SpMM throughput at mesh sizes 1, 2, 4, ... over the
+available devices and reports efficiency vs linear scaling.  On this
+environment only one real TPU chip is attached, so multi-device numbers come
+from the virtual CPU mesh (functional validation + schedule sanity); run the
+same harness unchanged on a pod slice for real numbers.
+
+Usage: python -m kgcn_tpu.tools.bench_scaling [--nodes N] [--edges E]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_one(D: int, V: int, E: int, F: int, strategy: str, iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from kgcn_tpu.parallel.edge_partition import (
+        partition_edges,
+        spmm_edge_partitioned,
+    )
+    from kgcn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    s = rng.randint(0, V, E).astype(np.int32)
+    r = rng.randint(0, V, E).astype(np.int32)
+    w = rng.random_sample(E).astype(np.float32) + 0.1
+    x = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
+
+    mesh = make_mesh({"data": D})
+    part = partition_edges(s, r, w, V, D)
+
+    run = lambda xx: spmm_edge_partitioned(part, xx, mesh, strategy=strategy)
+    out = run(x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    cur = x
+    for _ in range(iters):
+        cur = run(cur)
+    jax.block_until_ready(cur)
+    dt = (time.perf_counter() - t0) / iters
+    return E / dt
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=1 << 14)
+    p.add_argument("--edges", type=int, default=1 << 18)
+    p.add_argument("--features", type=int, default=64)
+    p.add_argument("--strategy", default="ring", choices=["ring", "allgather"])
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    results = {}
+    base = None
+    for D in sizes:
+        eps = bench_one(D, args.nodes, args.edges, args.features, args.strategy)
+        if base is None:
+            base = eps
+        results[D] = {
+            "edges_per_s": eps,
+            "efficiency": eps / (base * D),
+        }
+        print(
+            f"D={D}: {eps / 1e6:.1f} M edges/s, "
+            f"scaling efficiency {eps / (base * D) * 100:.0f}%"
+        )
+    print(json.dumps({"strategy": args.strategy, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
