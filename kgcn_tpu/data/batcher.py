@@ -64,6 +64,107 @@ class Batcher:
         self.edge_budget = edge_budget or pad_edge_budget(per_graph * self.batch_size)
         self.epsilon_dim = epsilon_dim
         self._rng = np.random.RandomState(seed)
+        self._native = None
+        self._prepare_native()
+
+    def _prepare_native(self) -> None:
+        """Precompute flat COO blocks so each batch is one native C call
+        (kgcn_tpu/native/batcher.cpp) instead of a Python per-graph loop."""
+        ds = self.ds
+        if ds.adjs is None:
+            return
+        try:
+            from kgcn_tpu import native
+        except Exception:
+            return
+        if not native.available(build=True):
+            return
+        C = len(ds.adjs[0])
+        rows, cols, vals = [], [], []
+        off = np.zeros((ds.num, C), np.int64)
+        length = np.zeros((ds.num, C), np.int64)
+        cursor = 0
+        for g, chans in enumerate(ds.adjs):
+            for c, (r, cc, v) in enumerate(chans):
+                off[g, c] = cursor
+                length[g, c] = len(r)
+                rows.append(np.asarray(r, np.int32))
+                cols.append(np.asarray(cc, np.int32))
+                vals.append(np.asarray(v, np.float32))
+                cursor += len(r)
+        self._native = {
+            "mod": native,
+            "rows": np.concatenate(rows) if rows else np.zeros(0, np.int32),
+            "cols": np.concatenate(cols) if cols else np.zeros(0, np.int32),
+            "vals": np.concatenate(vals) if vals else np.zeros(0, np.float32),
+            "off": off,
+            "len": length,
+            "channels": C,
+        }
+
+    def _native_graph(self, idx: np.ndarray, B: int):
+        """GraphBatch via the native packer (None → fall back to Python)."""
+        from kgcn_tpu.graph.batch import GraphBatch
+
+        nt = self._native
+        if nt is None:
+            return None
+        ds = self.ds
+        G = len(idx)
+        C = nt["channels"]
+        try:
+            senders, receivers, weights, n_edge = nt["mod"].pack_edges(
+                nt["rows"], nt["cols"], nt["vals"],
+                nt["off"][idx].reshape(-1), nt["len"][idx].reshape(-1),
+                G, C, self.max_nodes, self.edge_budget,
+            )
+        except RuntimeError:
+            return None
+        N = self.max_nodes
+        if ds.enabled_node_nums is not None:
+            nn = np.asarray(ds.enabled_node_nums)[idx].astype(np.int32)
+        elif ds.features is not None:
+            f = ds.features[idx]
+            nn = np.maximum(
+                (np.abs(f).sum(axis=-1) > 0).sum(axis=-1), 1
+            ).astype(np.int32)
+        else:
+            nn = np.full((G,), N, np.int32)
+        nn_pad = np.zeros((B,), np.int32)
+        nn_pad[:G] = nn
+        mask = (
+            (np.arange(N)[None, :] < nn_pad[:, None]).astype(np.float32).reshape(-1)
+        )
+        nodes = None
+        if ds.features is not None:
+            feats = np.ascontiguousarray(ds.features, np.float32)
+            padded = nt["mod"].gather_pad_features(
+                feats, idx.astype(np.int64), B
+            )
+            if padded.shape[1] != N:
+                tmp = np.zeros((B, N, padded.shape[2]), np.float32)
+                tmp[:, : padded.shape[1]] = padded[:, :N]
+                padded = tmp
+            nodes = jnp.asarray(padded.reshape(B * N, -1))
+        ids = None
+        if ds.nodes is not None:
+            ids_np = np.zeros((B, N), np.int32)
+            for j, g in enumerate(idx):
+                row = np.asarray(ds.nodes[g], np.int32)
+                ids_np[j, : len(row)] = row
+            ids = jnp.asarray(ids_np.reshape(-1))
+        return GraphBatch(
+            senders=jnp.asarray(senders),
+            receivers=jnp.asarray(receivers),
+            edge_weights=jnp.asarray(weights),
+            n_edge=jnp.asarray(n_edge),
+            n_node=jnp.asarray(nn_pad),
+            node_mask=jnp.asarray(mask),
+            nodes=nodes,
+            node_ids=ids,
+            n_graph=B,
+            max_nodes=N,
+        )
 
     def _scan_edge_budget(self) -> int:
         if self.ds.adjs is None:
@@ -86,6 +187,11 @@ class Batcher:
         B = self.batch_size
         G = len(idx)
         assert G <= B
+        idx = np.asarray(idx)
+
+        graph = self._native_graph(idx, B)
+        if graph is not None:
+            return self._finish_batch(graph, idx, G, B)
 
         if ds.adjs is not None:
             adjs = [
@@ -115,6 +221,10 @@ class Batcher:
             edge_budget=self.edge_budget,
             n_graph=B,
         )
+        return self._finish_batch(graph, idx, G, B)
+
+    def _finish_batch(self, graph, idx, G: int, B: int) -> Batch:
+        ds = self.ds
 
         def pad_rows(x):
             if x is None:
