@@ -1,0 +1,75 @@
+"""``kgcn-tpu-opt`` — hyper-parameter optimisation driver.
+
+Reference: ``kgcn-opt`` (opt_hyperparam.py): per trial, write the param JSON
+into the config as ``info.param`` and run training in-process (the reference
+shelled out a ``kgcn`` subprocess, :117-121), minimising ``validation_cost``;
+saves the best param/config pair at the end (:168-199).
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+
+import numpy as np
+
+
+def run_trial(base_config, params) -> float:
+    """One training run; returns validation cost (the HPO objective)."""
+    from kgcn_tpu.cli.main import cmd_train
+
+    config = copy.deepcopy(base_config)
+    config["param"] = dict(params)
+    # common tunables map straight onto config keys
+    for key in ("learning_rate", "batch_size", "dropout_rate", "epoch"):
+        if key in params:
+            config[key] = params[key]
+    config["make_plot"] = False
+    for k in list(config):
+        if k.startswith("save_result") or k.startswith("save_info"):
+            config[k] = None
+    result = cmd_train(config)
+    return float(result.get("validation_cost", np.inf))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="kgcn-tpu-opt", description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--domain", required=True, help="domain JSON (reference format)")
+    p.add_argument("--max-itr", type=int, default=10)
+    p.add_argument("--output-dir", default="opt_result")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from kgcn_tpu.runtime.config import load_config
+    from kgcn_tpu.tools.hpo import Domain, optimize
+
+    base = load_config(args.config)
+    domain = Domain.from_json(args.domain)
+    best_params, best_value, history = optimize(
+        lambda params: run_trial(base, params),
+        domain,
+        max_iter=args.max_itr,
+        seed=args.seed,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "best_param.json"), "w") as f:
+        json.dump(best_params, f, indent=2)
+    best_config = dict(base)
+    best_config["param"] = best_params
+    with open(os.path.join(args.output_dir, "best_config.json"), "w") as f:
+        json.dump(best_config, f, indent=2, default=str)
+    with open(os.path.join(args.output_dir, "history.json"), "w") as f:
+        json.dump(history, f, indent=2)
+    print(f"[opt] best validation_cost={best_value:.6g} params={best_params}")
+    print(f"[SAVE] {args.output_dir}/best_param.json")
+
+
+if __name__ == "__main__":
+    main()

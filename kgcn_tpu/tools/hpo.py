@@ -1,0 +1,123 @@
+"""Bayesian hyper-parameter optimisation.
+
+Reference: ``kgcn-opt`` (opt_hyperparam.py:26-199) — GPyOpt Bayesian
+optimisation over a JSON domain; each trial writes a param JSON and launches
+a training run, reading back ``validation_cost``.
+
+Here the optimiser is a self-contained Gaussian-process expected-improvement
+loop (NumPy; RBF kernel, EI acquisition over random candidates) — no GPyOpt
+dependency — with the SAME domain JSON format (``name`` / ``type``
+continuous|discrete / ``domain`` / ``data_type``) so reference
+``example_param`` files work unchanged.
+"""
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+class Domain:
+    """Reference-format search-space definition."""
+
+    def __init__(self, spec: List[Dict]):
+        self.spec = spec
+
+    @classmethod
+    def from_json(cls, path: str) -> "Domain":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    def sample(self, rng: np.random.RandomState) -> np.ndarray:
+        """One point in normalised [0,1]^d coordinates."""
+        return rng.random_sample(len(self.spec))
+
+    def decode(self, u: np.ndarray) -> Dict:
+        """Normalised coords → param dict with reference typing rules."""
+        out = {}
+        for ui, d in zip(u, self.spec):
+            dom = d["domain"]
+            if d["type"] == "discrete":
+                val = dom[min(int(ui * len(dom)), len(dom) - 1)]
+            else:
+                lo, hi = float(dom[0]), float(dom[-1])
+                val = lo + ui * (hi - lo)
+            if d.get("data_type") == "int":
+                val = int(round(val))
+            out[d["name"]] = val
+        return out
+
+
+def _rbf(a: np.ndarray, b: np.ndarray, ls: float = 0.2) -> np.ndarray:
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return np.exp(-0.5 * d2 / ls**2)
+
+
+class GPOptimizer:
+    """Minimise f over the domain with GP + expected improvement."""
+
+    def __init__(self, domain: Domain, seed: int = 0, noise: float = 1e-4,
+                 n_candidates: int = 512):
+        self.domain = domain
+        self.rng = np.random.RandomState(seed)
+        self.noise = noise
+        self.n_candidates = n_candidates
+        self.X: List[np.ndarray] = []
+        self.y: List[float] = []
+
+    def suggest(self) -> np.ndarray:
+        if len(self.X) < 3:  # bootstrap with random points
+            return self.domain.sample(self.rng)
+        X = np.stack(self.X)
+        y = np.asarray(self.y)
+        mu_y, sd_y = y.mean(), y.std() + 1e-9
+        yn = (y - mu_y) / sd_y
+        K = _rbf(X, X) + self.noise * np.eye(len(X))
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+        cand = self.rng.random_sample((self.n_candidates, X.shape[1]))
+        Ks = _rbf(cand, X)
+        mu = Ks @ alpha
+        v = np.linalg.solve(L, Ks.T)
+        var = np.clip(1.0 - (v**2).sum(axis=0), 1e-12, None)
+        sd = np.sqrt(var)
+        best = yn.min()
+        z = (best - mu) / sd
+        # expected improvement (minimisation)
+        from math import erf
+
+        cdf = 0.5 * (1.0 + np.vectorize(erf)(z / np.sqrt(2.0)))
+        pdf = np.exp(-0.5 * z**2) / np.sqrt(2 * np.pi)
+        ei = sd * (z * cdf + pdf)
+        return cand[int(np.argmax(ei))]
+
+    def observe(self, u: np.ndarray, value: float) -> None:
+        self.X.append(np.asarray(u))
+        self.y.append(float(value))
+
+    @property
+    def best(self):
+        i = int(np.argmin(self.y))
+        return self.domain.decode(self.X[i]), self.y[i]
+
+
+def optimize(
+    objective: Callable[[Dict], float],
+    domain: Domain,
+    max_iter: int = 20,
+    seed: int = 0,
+    log: Callable[[str], None] = print,
+):
+    """Run the BO loop; returns (best_params, best_value, history)."""
+    opt = GPOptimizer(domain, seed=seed)
+    history = []
+    for it in range(max_iter):
+        u = opt.suggest()
+        params = domain.decode(u)
+        value = float(objective(params))
+        opt.observe(u, value)
+        history.append({"iteration": it, "params": params, "value": value})
+        log(f"[opt] iter {it}: value={value:.6g} params={params}")
+    best_params, best_value = opt.best
+    return best_params, best_value, history
