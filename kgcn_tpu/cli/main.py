@@ -149,6 +149,19 @@ def cmd_train(config) -> Dict[str, Any]:
         if config.get("save_info_valid"):
             _save_json(config["save_info_valid"], result)
 
+    if config.get("export_model"):
+        from kgcn_tpu.data import Batcher
+        from kgcn_tpu.runtime.export import export_model
+
+        b = Batcher(train_ds, info, int(config["batch_size"]))
+        sample = b.make_batch(np.arange(min(int(config["batch_size"]), train_ds.num)))
+        export_model(
+            trainer.model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sample,
+            config["export_model"],
+        )
+
     if config.get("save_info_train"):
         hist = fit_info["history"]
         payload = {

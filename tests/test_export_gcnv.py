@@ -1,0 +1,54 @@
+"""Model export + gcnv renderer tests."""
+import os
+
+import joblib
+import numpy as np
+import pytest
+
+from kgcn_tpu.data import Batcher, build_dataset
+from kgcn_tpu.data.synthetic import make_ring_dataset
+from kgcn_tpu.models.registry import build_model
+from kgcn_tpu.runtime.config import default_config
+from kgcn_tpu.runtime.train import Trainer
+
+
+def test_export_roundtrip(tmp_path):
+    from kgcn_tpu.runtime.export import export_model, load_exported
+
+    cfg = default_config()
+    cfg.update({"task": "classification"})
+    ds, info = build_dataset(make_ring_dataset(num_pairs=5, seed=0), cfg)
+    model = build_model("gcn", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    b = Batcher(ds, info, 5, seed=0)
+    batch = b.make_batch(np.arange(5))
+    state = trainer.init_state(batch, seed=0)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    path = str(tmp_path / "model.stablehlo")
+    export_model(model, variables, batch, path)
+    assert os.path.exists(path) and os.path.exists(path + ".params")
+
+    fn = load_exported(path)
+    pred = fn(batch)
+    want = model.apply(variables, batch, train=False).prediction
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(want), rtol=1e-5)
+
+
+def test_gcnv_renders_ig_dump(tmp_path):
+    from kgcn_tpu.cli.gcnv import main as gcnv_main
+
+    dump = {
+        "features": np.random.rand(10, 3),
+        "features_IG": np.random.randn(10, 3),
+        "adjs": np.random.rand(10, 10),
+        "adjs_IG": np.random.randn(10, 10),
+        "check_score": 0.5,
+        "sum_of_IG": 0.48,
+    }
+    path = str(tmp_path / "mol_0.jbl")
+    joblib.dump(dump, path)
+    gcnv_main([path, "--outdir", str(tmp_path)])
+    made = os.listdir(tmp_path)
+    for suffix in ("adjs.png", "adjs_IG.png", "features.png", "features_IG.png"):
+        assert any(f.endswith(suffix) for f in made), suffix
