@@ -96,11 +96,58 @@ def _fit_once(config, train_ds, valid_ds, info, fold: Optional[int] = None,
     return trainer, state, fit_info, vb
 
 
+def cmd_train_kg(config, ds, info) -> Dict[str, Any]:
+    """Whole-graph link-prediction training (reference: gcn.py with
+    task=link_prediction over sample_kg datasets; batch=1, label_list
+    preference pairs, per-epoch negative resampling)."""
+    from kgcn_tpu.models.kg import KGBatcher
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.train import Trainer
+
+    model_name = config.get("model.py", "kg_distmult")
+    if model_name in ("model", "gcn"):
+        model_name = "kg_distmult"
+    model = build_model(model_name, info, config)
+    trainer = Trainer(model, config, info)
+    kb = KGBatcher(
+        ds, info,
+        label_batch_size=config.get("label_batch_size"),
+        pair_mode=config.get("preference_pair_mode", "both"),
+        seed=int(config.get("seed", 0)),
+    )
+    state = trainer.init_state(next(kb.batches()), seed=int(config.get("seed", 0)))
+    t0 = time.time()
+    best = {"acc": 0.0}
+    for epoch in range(int(config.get("epoch", 50))):
+        state, cost, metrics, _ = trainer.run_epoch(state, kb)
+        tc = sum(float(m["correct_count"]) for m in metrics)
+        tn = sum(float(m["count"]) for m in metrics)
+        acc = tc / max(tn, 1)
+        best["acc"] = max(best["acc"], acc)
+        print(f"epoch {epoch}, training cost {cost:.6g} (rank acc={acc:.4g})")
+    train_time = time.time() - t0
+    print(f"training time: {train_time}[sec]")
+    from kgcn_tpu.runtime import checkpoint as ckpt
+
+    model_dir = config.get("save_model_path") or "model"
+    ckpt.save_checkpoint(
+        ckpt.ckpt_name(model_dir, "last"), trainer.state_tree(state, 0, 0.0)
+    )
+    result = {"train_time": train_time, "ranking_accuracy": best["acc"]}
+    if config.get("save_info_train"):
+        _save_json(config["save_info_train"], result)
+    return result
+
+
 def cmd_train(config) -> Dict[str, Any]:
     from kgcn_tpu.data import split_dataset
     from kgcn_tpu.runtime.metrics import compute_metrics
 
     task = config.get("task", "")
+    if task == "link_prediction" or config.get("with_node_embedding"):
+        ds, info = _prepare(config)
+        if ds.label_list is not None:
+            return cmd_train_kg(config, ds, info)
     if config.get("validation_dataset"):
         train_ds, info = _prepare(config)
         valid_ds, valid_info = _prepare(config, dataset_key="validation_dataset")

@@ -151,3 +151,27 @@ class GCNRegression(nn.Module):
         err = jnp.sum(diff, axis=1) * batch.pad_mask
         metrics = {"error_sum": jnp.sum(err), "count": jnp.sum(batch.pad_mask)}
         return ModelOutput(pred, jnp.mean(err), jnp.sum(err), metrics)
+
+
+class SequenceCNN(nn.Module):
+    """Sequence-only CNN baseline (reference:
+    sample_protein/sequence/cnn.py:9-25 — embedding → Conv1D stack →
+    global pooling → dense softmax head; no graph branch)."""
+
+    vocab_size: int = 25
+    label_dim: int = 2
+    embedding_dim: int = 10
+    conv_features: int = 64
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> ModelOutput:
+        x = nn.Embed(self.vocab_size, self.embedding_dim)(batch.sequences)
+        x = nn.relu(nn.Conv(self.conv_features, (5,), padding="SAME")(x))
+        x = nn.max_pool(x, (2,), strides=(2,))
+        x = nn.relu(nn.Conv(self.conv_features, (5,), padding="SAME")(x))
+        h = jnp.max(x, axis=1)  # global max pool over sequence
+        logits = nn.Dense(self.label_dim)(h)
+        cost_opt, cost_sum, pred, metrics = softmax_ce_cost(
+            logits, batch.labels, batch.pad_mask
+        )
+        return ModelOutput(pred, cost_opt, cost_sum, metrics)

@@ -165,6 +165,17 @@ def _kg_distmult(info, config):
     )
 
 
+@register("seq_cnn")
+def _seq_cnn(info, config):
+    from kgcn_tpu.models.multimodal import SequenceCNN
+
+    return SequenceCNN(
+        vocab_size=max(info.sequence_symbol_num, 2),
+        label_dim=info.label_dim or 2,
+        embedding_dim=int(config.get("embedding_dim", 10)),
+    )
+
+
 @register("gcn_node_label")
 def _gcn_node_label(info, config):
     from kgcn_tpu.models.standard import GCNNodeLabel
