@@ -175,6 +175,12 @@ class Batcher:
     def num_batches(self) -> int:
         return (self.ds.num + self.batch_size - 1) // self.batch_size
 
+    @property
+    def valid_per_epoch(self) -> int:
+        """Total real (non-padding) examples per epoch — lets the train loop
+        skip per-step device synchronisation."""
+        return self.ds.num
+
     def epoch_indices(self, shuffle: bool = True) -> np.ndarray:
         idx = np.arange(self.ds.num)
         if shuffle:

@@ -156,6 +156,12 @@ class KGBatcher:
     def num_labels(self) -> int:
         return len(self.label_list)
 
+    @property
+    def valid_per_epoch(self) -> int:
+        # one whole-graph "example" per label slice (pad_mask is [1] per batch)
+        L = self.label_batch_size
+        return (self.num_labels + L - 1) // L
+
     def batches(self, shuffle: bool = True):
         order = np.arange(self.num_labels)
         if shuffle:

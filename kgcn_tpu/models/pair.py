@@ -94,6 +94,10 @@ class PairBatcher:
         self.ds = ds
         self._rng = np.random.RandomState(seed)
 
+    @property
+    def valid_per_epoch(self) -> int:
+        return len(self.pairs)
+
     def make_batch(self, pair_idx) -> PairBatch:
         p = self.pairs[pair_idx]
         return PairBatch(

@@ -42,6 +42,10 @@ class ShardedBatcher:
     def batch_size(self):
         return self.global_batch
 
+    @property
+    def valid_per_epoch(self) -> int:
+        return self.ds.num
+
     def make_batch(self, idx: np.ndarray) -> Batch:
         per = self.b.batch_size
         shards = []

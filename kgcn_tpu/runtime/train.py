@@ -151,14 +151,23 @@ class Trainer:
 
     # ---- loops ---------------------------------------------------------
     def run_epoch(self, state: TrainState, batcher: Batcher, shuffle=True):
-        cost_total, n_total = 0.0, 0
+        # Keep per-step outputs on device and fetch once at epoch end — a
+        # per-step float() would synchronise with the device every batch
+        # (30 ms/step through a tunnel-attached TPU).
+        costs, n_total = [], 0
         metric_list = []
+        known = getattr(batcher, "valid_per_epoch", None)
         for batch in batcher.batches(shuffle=shuffle):
             state, cost_sum, metrics = self.train_step(state, batch)
-            cost_total += float(cost_sum)
-            n_total += int(np.asarray(batch.pad_mask).sum())
-            metric_list.append(jax.device_get(metrics))
-        return state, cost_total / max(n_total, 1), metric_list, n_total
+            costs.append(cost_sum)
+            if known is None:
+                n_total += int(np.asarray(batch.pad_mask).sum())
+            metric_list.append(metrics)
+        if known is not None:
+            n_total = known
+        costs = jax.device_get(costs)
+        metric_list = jax.device_get(metric_list)
+        return state, float(np.sum(costs)) / max(n_total, 1), metric_list, n_total
 
     def evaluate(self, state: TrainState, batcher: Batcher, key_prefix=""):
         cost_total, n_total = 0.0, 0
