@@ -382,6 +382,24 @@ def main(argv=None):
     if args.save_config:
         save_config(config, args.save_config)
 
+    import jax
+
+    # sanitizer / determinism switches (SURVEY §5 "race detection"):
+    # debug_nan traps the first non-finite value inside jit;
+    # precision maps to the TPU matmul precision knob
+    # (bfloat16 = fastest MXU path, float32/highest = full precision).
+    if config.get("debug_nan"):
+        jax.config.update("jax_debug_nans", True)
+    precision = str(config.get("precision", "float32"))
+    if precision in ("bfloat16", "default"):
+        jax.config.update("jax_default_matmul_precision", "default")
+    elif precision in ("float32", "highest"):
+        jax.config.update("jax_default_matmul_precision", "highest")
+    if config.get("deterministic"):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_gpu_deterministic_ops=true"
+        ).strip()
+
     prof_dir = None
     if config.get("profile"):
         import jax
