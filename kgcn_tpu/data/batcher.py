@@ -181,6 +181,12 @@ class Batcher:
         skip per-step device synchronisation."""
         return self.ds.num
 
+    def batch_valid_counts(self):
+        """Per-batch valid-example counts for a shuffle=False iteration
+        (deterministic — lets eval avoid per-batch device syncs)."""
+        n, bs = self.ds.num, self.batch_size
+        return [min(bs, n - s) for s in range(0, n, bs)]
+
     def epoch_indices(self, shuffle: bool = True) -> np.ndarray:
         idx = np.arange(self.ds.num)
         if shuffle:
@@ -194,6 +200,7 @@ class Batcher:
         G = len(idx)
         assert G <= B
         idx = np.asarray(idx)
+        self.last_valid = G  # host-side count (avoids device sync to learn it)
 
         graph = self._native_graph(idx, B)
         if graph is not None:

@@ -162,6 +162,9 @@ class KGBatcher:
         L = self.label_batch_size
         return (self.num_labels + L - 1) // L
 
+    def batch_valid_counts(self):
+        return [1] * self.valid_per_epoch
+
     def batches(self, shuffle: bool = True):
         order = np.arange(self.num_labels)
         if shuffle:
@@ -174,6 +177,7 @@ class KGBatcher:
             ll = self.label_list[idx]
             if not self.test:
                 ll = sample_negatives(ll, self.all_nodes, self._rng, self.pair_mode)
+            self.last_valid = 1
             yield self.graph_batch.replace(
                 label_list=jnp.asarray(ll[None])
             )

@@ -98,8 +98,13 @@ class PairBatcher:
     def valid_per_epoch(self) -> int:
         return len(self.pairs)
 
+    def batch_valid_counts(self):
+        n, bs = len(self.pairs), self.batch_size
+        return [min(bs, n - s) for s in range(0, n, bs)]
+
     def make_batch(self, pair_idx) -> PairBatch:
         p = self.pairs[pair_idx]
+        self.last_valid = len(p)
         return PairBatch(
             a=self.b0.make_batch(p[:, 0]), b=self.b1.make_batch(p[:, 1])
         )

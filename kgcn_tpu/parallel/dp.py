@@ -46,11 +46,16 @@ class ShardedBatcher:
     def valid_per_epoch(self) -> int:
         return self.ds.num
 
+    def batch_valid_counts(self):
+        n, bs = self.ds.num, self.global_batch
+        return [min(bs, n - s) for s in range(0, n, bs)]
+
     def make_batch(self, idx: np.ndarray) -> Batch:
         per = self.b.batch_size
         shards = []
         for d in range(self.num_shards):
             shards.append(self.b.make_batch(idx[d * per : (d + 1) * per]))
+        self.last_valid = len(idx)
         return stack_batches(shards)
 
     def batches(self, shuffle: bool = True):
@@ -156,23 +161,30 @@ class DPTrainer(Trainer):
         from kgcn_tpu.runtime.metrics import aggregate_metrics
 
         cost_total, n_total = 0.0, 0
-        metric_list, preds = [], []
+        metric_list, preds, costs, pads = [], [], [], []
         for batch in batcher.batches(shuffle=False):
             pred, cost_sum, metrics = self.eval_step(
                 state.params, state.batch_stats, batch
             )
-            pad = np.asarray(batch.pad_mask).reshape(-1)
-            n_valid = int(pad.sum())
-            cost_total += float(cost_sum)
-            n_total += n_valid
-            metric_list.append(jax.device_get(metrics))
-            pred_np = jax.device_get(pred)
+            costs.append(cost_sum)
+            metric_list.append(metrics)
+            preds.append(pred)
+            pads.append(batch.pad_mask)
+        costs, metric_list, preds, pads = jax.device_get(
+            (costs, metric_list, preds, pads)
+        )
+        cost_total = float(np.sum(costs))
+        flat_preds = []
+        for pred_np, pad in zip(preds, pads):
+            pad = np.asarray(pad).reshape(-1)
+            n_total += int(pad.sum())
             flat = (
                 {k: v.reshape(-1, *v.shape[2:])[pad > 0] for k, v in pred_np.items()}
                 if isinstance(pred_np, dict)
                 else pred_np.reshape(-1, *pred_np.shape[2:])[pad > 0]
             )
-            preds.append(flat)
+            flat_preds.append(flat)
+        preds = flat_preds
         agg = aggregate_metrics(
             metric_list, n_total, self.config.get("task", ""), key_prefix
         )
