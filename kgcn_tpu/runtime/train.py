@@ -64,6 +64,28 @@ class EarlyStopping:
         return stop
 
 
+class CachedBatches:
+    """Materialise a batcher's shuffle=False batches ONCE (device-resident)
+    and replay them — validation batches are identical every epoch, so the
+    host assembly + transfer cost is paid a single time."""
+
+    def __init__(self, batcher):
+        self._batcher = batcher
+        self._cache = None
+        self.ds = batcher.ds
+        for attr in ("valid_per_epoch", "batch_size"):
+            if hasattr(batcher, attr):
+                setattr(self, attr, getattr(batcher, attr))
+
+    def batch_valid_counts(self):
+        return self._batcher.batch_valid_counts()
+
+    def batches(self, shuffle: bool = False):
+        if self._cache is None:
+            self._cache = list(self._batcher.batches(shuffle=False))
+        return iter(self._cache)
+
+
 class Trainer:
     """Builds jitted steps around a flax model following the
     :class:`kgcn_tpu.models.base.ModelOutput` protocol."""
@@ -238,6 +260,8 @@ class Trainer:
         task = cfg.get("task", "multitask_classification")
 
         es = EarlyStopping(patience, task)
+        if valid_batcher is not None and hasattr(valid_batcher, "batch_valid_counts"):
+            valid_batcher = CachedBatches(valid_batcher)
         best_cost = np.inf
         best_epoch = -1
         history: List[Dict[str, Any]] = []
