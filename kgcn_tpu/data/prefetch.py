@@ -17,8 +17,34 @@ T = TypeVar("T")
 _SENTINEL = object()
 
 
+def _enabled() -> bool:
+    """Prefetch threads hurt on tunnel-attached TPUs (background-thread
+    transfers serialise against the tunnel — measured 15x slower epochs), so
+    it is opt-in there.  KGCN_PREFETCH=1/0 overrides."""
+    import os
+
+    env = os.environ.get("KGCN_PREFETCH")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        from jax._src import xla_bridge
+
+        # the axon plugin (tunnel-attached TPU) reports itself in
+        # platform_version; its transfers are tunnel round-trips
+        if "axon" in str(
+            getattr(xla_bridge.get_backend(), "platform_version", "")
+        ).lower():
+            return False
+    except Exception:
+        pass
+    return True
+
+
 def prefetch(iterable: Iterable[T], size: int = 2) -> Iterator[T]:
     """Wrap an iterator so ``size`` items are prepared ahead in a thread."""
+    if not _enabled():
+        yield from iterable
+        return
     q: "queue.Queue" = queue.Queue(maxsize=size)
     err: list = []
 

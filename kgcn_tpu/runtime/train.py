@@ -86,11 +86,29 @@ class CachedBatches:
         return iter(self._cache)
 
 
+_CHANNEL_WARM = False
+
+
+def _warm_readback_channel() -> None:
+    """First device→host copy on a tunnel-attached TPU pays a large one-time
+    channel-establishment cost (measured 14s..minutes under load).  Pay it at
+    a defined point instead of inside the first epoch's timing."""
+    global _CHANNEL_WARM
+    if _CHANNEL_WARM:
+        return
+    _CHANNEL_WARM = True
+    try:
+        jax.device_get(jnp.zeros(()))
+    except Exception:
+        pass
+
+
 class Trainer:
     """Builds jitted steps around a flax model following the
     :class:`kgcn_tpu.models.base.ModelOutput` protocol."""
 
     def __init__(self, model, config: Dict[str, Any], info=None, tx=None):
+        _warm_readback_channel()
         self.model = model
         self.config = config
         self.info = info
