@@ -116,6 +116,11 @@ def bench_train(B=256, N=64, F=32, iters=30, seed=0):
 
 
 def main():
+    # pay the tunnel's one-time device->host channel cost outside the timers
+    import jax
+    import jax.numpy as jnp
+
+    jax.device_get(jnp.zeros(()))
     agg = bench_aggregation()
     train = bench_train()
     best = max(
