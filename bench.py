@@ -9,9 +9,10 @@ block-diagonal batch, best execution path.  ``vs_baseline`` is the speedup
 over the naive COO gather/segment-sum path — the strategy a direct port of
 the reference's fallback (kgcn/layers.py:113) would use on TPU.
 
-Methodology: the remote-tunnel TPU attach in this environment has ~30 ms
-readback latency, so each measurement chains ≥60 dependent iterations of the
-jitted op and subtracts a calibrated readback cost.
+Methodology: the remote-tunnel TPU attach in this environment adds large,
+variable per-dispatch and readback latencies, so each measurement runs the
+iteration loop ON DEVICE (lax.fori_loop inside one jit) — one dispatch, one
+readback, pure device time.
 """
 from __future__ import annotations
 
@@ -20,21 +21,27 @@ import time
 
 import numpy as np
 
-READBACK_S = 0.030  # calibrated tunnel round-trip (scalar fetch)
-
-
-def _chain_time(fn, x0, iters=60):
-    """Time chained dependent applications of fn (out feeds next in)."""
+def _chain_time(fn, x0, iters=1000):
+    """Device-side timing: iterate fn inside ONE jitted fori_loop."""
     import jax
+    from jax import lax
 
-    out = fn(x0)
-    _ = float(np.asarray(out).ravel()[0])
+    looped = jax.jit(
+        lambda x, n: lax.fori_loop(0, n, lambda i, xx: fn(xx), x)
+    )
+    out = looped(x0, 2)  # compile + warm
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = x0
-    for _ in range(iters):
-        out = fn(out)
-    _ = float(np.asarray(out).ravel()[0])
-    return max((time.perf_counter() - t0 - READBACK_S) / iters, 1e-9)
+    out = looped(x0, iters)
+    jax.block_until_ready(out)
+    t_total = time.perf_counter() - t0
+    # subtract the fixed dispatch cost measured with a 1-iteration run
+    t0 = time.perf_counter()
+    jax.block_until_ready(looped(x0, 1))
+    t_one = time.perf_counter() - t0
+    if t_total > 2 * t_one:
+        return (t_total - t_one) / (iters - 1)
+    return t_total / iters
 
 
 def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
@@ -61,14 +68,14 @@ def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
 
     t_coo = _chain_time(
         jax.jit(lambda x: spmm(g.senders[0], g.receivers[0], g.edge_weights[0], x, V))
-    , x0)
+    , x0, iters=100)
 
     idx, w = coo_to_ell(
         np.asarray(g.senders[0]), np.asarray(g.receivers[0]),
         np.asarray(g.edge_weights[0]), V,
     )
     idx, w = jnp.asarray(idx), jnp.asarray(w)
-    t_ell = _chain_time(jax.jit(lambda x: spmm_ell(idx, w, x)), x0)
+    t_ell = _chain_time(jax.jit(lambda x: spmm_ell(idx, w, x)), x0, iters=500)
 
     adj = jax.jit(lambda gb: gb.dense_adjacency())(g)
     dense_fn = jax.jit(
@@ -76,7 +83,7 @@ def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
             V, F
         )
     )
-    t_dense = _chain_time(dense_fn, x0)
+    t_dense = _chain_time(dense_fn, x0, iters=4000)
 
     return {
         "edges": n_edges,
@@ -86,7 +93,7 @@ def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
     }
 
 
-def bench_train(B=256, N=64, F=32, iters=30, seed=0):
+def bench_train(B=256, N=64, F=32, iters=300, seed=0):
     import jax
 
     from kgcn_tpu.data import Batcher, build_dataset
@@ -104,14 +111,52 @@ def bench_train(B=256, N=64, F=32, iters=30, seed=0):
     model = build_model("gcn", info, cfg)
     trainer = Trainer(model, cfg, info)
     state = trainer.init_state(batch, seed=0)
-    step = trainer.train_step
-    state, cost, _ = step(state, batch)  # compile
-    _ = float(cost)
+
+    # device-side loop over the full train step (same batch re-used)
+    import jax
+    from jax import lax
+
+    base = trainer._make_train_step.__wrapped__ if False else None
+    model, tx = trainer.model, trainer.tx
+    import optax
+
+    def one_step(state, _):
+        def loss_fn(params, bstats):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": bstats}, batch, train=True,
+                rngs={"dropout": jax.random.fold_in(state.rng, state.step)},
+                mutable=["batch_stats"],
+            )
+            return out.cost_opt, upd.get("batch_stats", bstats)
+
+        grads, new_stats = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats, opt_state=new_opt, step=state.step + 1,
+        ), None
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
+    def looped(s, n):
+        return lax.scan(one_step, s, None, length=n)[0]
+    s2 = looped(state, 2)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, cost, _ = step(state, batch)
-    _ = float(cost)
-    dt = max((time.perf_counter() - t0 - READBACK_S) / iters, 1e-9)
+    s3 = looped(s2, iters)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
+    t_total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s4 = looped(s3, 1)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s4.params)[0])
+    t_one = time.perf_counter() - t0
+    if t_total > 2 * t_one:
+        dt = (t_total - t_one) / (iters - 1)
+    else:  # dispatch jitter comparable to compute; skip the subtraction
+        dt = t_total / iters
     return {"train_step_s": dt, "train_graphs_per_s": B / dt}
 
 
