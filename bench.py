@@ -83,7 +83,7 @@ def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
             V, F
         )
     )
-    t_dense = _chain_time(dense_fn, x0, iters=4000)
+    t_dense = _chain_time(dense_fn, x0, iters=2000)
 
     return {
         "edges": n_edges,
@@ -138,11 +138,11 @@ def bench_train(B=256, N=64, F=32, iters=300, seed=0):
             batch_stats=new_stats, opt_state=new_opt, step=state.step + 1,
         ), None
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=(1,))
-    def looped(s, n):
-        return lax.scan(one_step, s, None, length=n)[0]
+    looped = jax.jit(
+        lambda s, n: lax.fori_loop(
+            0, n, lambda i, st: one_step(st, None)[0], s
+        )
+    )
     s2 = looped(state, 2)
     jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
     t0 = time.perf_counter()
