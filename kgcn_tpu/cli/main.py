@@ -287,12 +287,75 @@ def cmd_train_cv(config) -> Dict[str, Any]:
     return summary
 
 
+def cmd_infer_kg(config, ds, info) -> Dict[str, Any]:
+    """KG link-prediction inference: ranking accuracy on the held-out triple
+    list + per-edge score extraction (reference: gcn.py:581-611 edge-score
+    extraction, left_pred all-entity scoring)."""
+    import jax
+    import numpy as np
+
+    from kgcn_tpu.models.kg import KGBatcher
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.train import Trainer
+
+    model_name = config.get("model.py", "kg_distmult")
+    if model_name in ("model", "gcn"):
+        model_name = "kg_distmult"
+    model = build_model(model_name, info, config)
+    trainer = Trainer(model, config, info)
+    kb = KGBatcher(ds, info, label_batch_size=config.get("label_batch_size"),
+                   seed=0, test=True)
+    batch = next(kb.batches(shuffle=False))
+    state = trainer.init_state(batch, seed=0)
+    load_path = config.get("load_model") or os.path.join(
+        config.get("save_model_path", "model"), "model.last.ckpt"
+    )
+    state = trainer.restore(state, load_path)
+    print(f"[LOAD] {load_path}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    triples = kb.label_list
+    heads, rels, tails = triples[:, 0], triples[:, 1], triples[:, 2]
+    scores = np.asarray(
+        model.apply(variables, batch, jax.numpy.asarray(tails),
+                    jax.numpy.asarray(rels), method=model.left_prediction)
+    )  # [K, V]: score of every entity as head
+    true_scores = scores[np.arange(len(heads)), heads]
+    ranks = (scores > true_scores[:, None]).sum(axis=1) + 1
+    result = {
+        "mean_rank": float(ranks.mean()),
+        "mrr": float((1.0 / ranks).mean()),
+        "hits@1": float((ranks <= 1).mean()),
+        "hits@10": float((ranks <= 10).mean()),
+        "num_test_triples": int(len(triples)),
+    }
+    print(json.dumps(result))
+    out_path = config.get("save_edge_result") or config.get("save_result_test")
+    if out_path:
+        d = os.path.dirname(out_path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(out_path, "w") as f:
+            f.write("head,relation,tail,score,head_rank\n")
+            for h, r, t, s, rk in zip(heads, rels, tails, true_scores, ranks):
+                f.write(f"{h},{r},{t},{s:.6g},{rk}\n")
+        print(f"[SAVE] {out_path}")
+    if config.get("save_info_test"):
+        _save_json(config["save_info_test"], result)
+    return result
+
+
 def cmd_infer(config) -> Dict[str, Any]:
     """Inference with a restored checkpoint (reference: gcn.py:527-621)."""
     from kgcn_tpu.data import Batcher
     from kgcn_tpu.runtime.metrics import compute_metrics
 
     ds, info = _prepare(config, test_mode=True)
+    if ds.label_list is not None and (
+        config.get("task") == "link_prediction"
+        or config.get("with_node_embedding")
+    ):
+        return cmd_infer_kg(config, ds, info)
     trainer = _make_trainer(config, info)
     bs = int(config["batch_size"])
     b = Batcher(ds, info, bs)
@@ -390,6 +453,17 @@ def main(argv=None):
     # (bfloat16 = fastest MXU path, float32/highest = full precision).
     if config.get("debug_nan"):
         jax.config.update("jax_debug_nans", True)
+    backend = str(config.get("spmm_backend", "auto"))
+    if backend in ("xla", "pallas"):
+        from kgcn_tpu.graph.batch import set_dense_path
+        from kgcn_tpu.ops import spmm as spmm_mod
+
+        set_dense_path(False)
+        spmm_mod.set_backend(backend)
+    elif backend == "dense":
+        from kgcn_tpu.graph.batch import set_dense_path
+
+        set_dense_path(True)
     precision = str(config.get("precision", "float32"))
     if precision in ("bfloat16", "default"):
         jax.config.update("jax_default_matmul_precision", "default")

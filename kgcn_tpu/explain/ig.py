@@ -188,30 +188,60 @@ def run_visualization(config) -> None:
     apply_fn = jax.tree_util.Partial(model.apply)
     for i in range(min(num, ds.num)):
         batch = b1.make_batch(np.asarray([i]))
+        # target-selection modes (reference ig_label_target,
+        # kgcn/visualization.py:497-530): correct/uncorrect filter samples by
+        # predicted-vs-true class; 'all' loops every class; int = class index
+        ig_target, label_index = target, None
+        if target in ("correct", "uncorrect", "all"):
+            out = apply_fn(variables, batch, train=False)
+            pred = np.asarray(out.prediction)
+            pred2 = pred[..., 1] if pred.ndim == 3 else pred
+            pred_cls = int(np.argmax(pred2[0]))
+            true_cls = int(np.argmax(np.asarray(batch.labels)[0]))
+            if target == "correct" and pred_cls != true_cls:
+                continue
+            if target == "uncorrect" and pred_cls == true_cls:
+                continue
+            if target == "all":
+                for cls in range(pred2.shape[-1]):
+                    igs, check = integrated_gradients(
+                        apply_fn, variables, batch, steps=steps,
+                        target="index", label_index=cls,
+                    )
+                    _dump_ig(outdir, i, f"class{cls}", batch, igs, check, info)
+                continue
+            ig_target, label_index = "index", pred_cls
         igs, check = integrated_gradients(
-            apply_fn, variables, batch, steps=steps, target=target
+            apply_fn, variables, batch, steps=steps, target=ig_target,
+            label_index=label_index,
         )
-        g = batch.graph
-        N = g.max_nodes
-        out = {
-            "features": np.asarray(g.nodes).reshape(N, -1),
-            "features_IG": igs["features_IG"].reshape(N, -1),
-            "adjs": edge_ig_to_dense(g, np.asarray(g.edge_weights))[:, 0][0],
-            "adjs_IG": edge_ig_to_dense(g, igs["adjs_IG"])[:, 0][0],
-            **check,
-        }
-        if info.mol_info is not None and "obj_list" in info.mol_info:
-            try:
-                out["mol"] = info.mol_info["obj_list"][i]
-            except Exception:
-                pass
-        path = os.path.join(outdir, f"mol_{i:05d}_{target}.jbl")
-        joblib.dump(out, path)
-        rel_err = (
-            abs(check["sum_of_IG"] - check["check_score"])
-            / (abs(check["check_score"]) + 1e-12)
-        )
-        print(
-            f"[SAVE] {path} (check: F(1)-F(0)={check['check_score']:.4f} "
-            f"sum_IG={check['sum_of_IG']:.4f} rel_err={rel_err:.3f})"
-        )
+        _dump_ig(outdir, i, target, batch, igs, check, info)
+
+
+def _dump_ig(outdir, i, tag, batch, igs, check, info) -> None:
+    import joblib
+
+    g = batch.graph
+    N = g.max_nodes
+    out = {
+        "features": np.asarray(g.nodes).reshape(N, -1),
+        "features_IG": igs["features_IG"].reshape(N, -1),
+        "adjs": edge_ig_to_dense(g, np.asarray(g.edge_weights))[:, 0][0],
+        "adjs_IG": edge_ig_to_dense(g, igs["adjs_IG"])[:, 0][0],
+        **check,
+    }
+    if info.mol_info is not None and "obj_list" in info.mol_info:
+        try:
+            out["mol"] = info.mol_info["obj_list"][i]
+        except Exception:
+            pass
+    path = os.path.join(outdir, f"mol_{i:05d}_{tag}.jbl")
+    joblib.dump(out, path)
+    rel_err = (
+        abs(check["sum_of_IG"] - check["check_score"])
+        / (abs(check["check_score"]) + 1e-12)
+    )
+    print(
+        f"[SAVE] {path} (check: F(1)-F(0)={check['check_score']:.4f} "
+        f"sum_IG={check['sum_of_IG']:.4f} rel_err={rel_err:.3f})"
+    )

@@ -135,10 +135,25 @@ class GraphBatch:
     def with_dense_adj(self) -> "GraphBatch":
         """Return a copy carrying the materialised dense adjacency (no-op if
         already cached).  Call once at the top of a model's forward so every
-        layer's aggregation becomes a batched MXU matmul."""
+        layer's aggregation becomes a batched MXU matmul.
+
+        Honours the global backend toggle (``set_dense_path``): when the
+        sparse backend is forced (config ``spmm_backend`` = xla/pallas),
+        this is a no-op and layers take their edge-list paths."""
+        if not _DENSE_PATH_ENABLED[0]:
+            return self
         if self.dense_adj is not None:
             return self
         return self.replace(dense_adj=self.dense_adjacency())
+
+
+_DENSE_PATH_ENABLED = [True]
+
+
+def set_dense_path(enabled: bool) -> None:
+    """Globally enable/disable the dense-MXU aggregation path (mirrors the
+    reference's --bspmm/--bconv op-selection flags, kgcn/layers.py:19-29)."""
+    _DENSE_PATH_ENABLED[0] = bool(enabled)
 
 
 def _coo_normalize(mat) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
