@@ -100,9 +100,29 @@ def coo_to_ell_device(senders, receivers, weights, num_nodes: int,
     return idx.reshape(num_nodes, max_degree), wv.reshape(num_nodes, max_degree)
 
 
+_KERNEL_OK: list = []  # empty = unprobed; [True]/[False] after probe
+
+
+def _kernel_supported() -> bool:
+    """One-time compile probe: current Mosaic versions may reject the VMEM
+    row-gather; fall back to the (still scatter-free) ELL-XLA path then."""
+    if _KERNEL_OK:
+        return _KERNEL_OK[0]
+    try:
+        idx = jnp.zeros((8, 2), jnp.int32)
+        w = jnp.ones((8, 2), jnp.float32)
+        x = jnp.ones((8, 8), jnp.float32)
+        jax.block_until_ready(spmm_ell_pallas(idx, w, x, tile_v=8))
+        _KERNEL_OK.append(True)
+    except Exception:
+        _KERNEL_OK.append(False)
+    return _KERNEL_OK[0]
+
+
 def spmm_pallas(senders, receivers, weights, x, num_nodes: int,
                 max_degree: int | None = None):
-    """COO SpMM through the Pallas ELL kernel (XLA fallback when x exceeds
+    """COO SpMM through the Pallas ELL kernel (ELL-XLA fallback when the
+    kernel cannot lower on this backend; segment-sum fallback when x exceeds
     the VMEM budget)."""
     V, F = num_nodes, x.shape[1]
     if V * _round_up(F, 128) * 4 > VMEM_X_BUDGET_BYTES:
@@ -118,4 +138,8 @@ def spmm_pallas(senders, receivers, weights, x, num_nodes: int,
         except Exception:
             max_degree = 16
     idx, w = coo_to_ell_device(senders, receivers, weights, V, max_degree)
-    return spmm_ell_pallas(idx, w, x)
+    if _kernel_supported():
+        return spmm_ell_pallas(idx, w, x)
+    from kgcn_tpu.ops.ell import spmm_ell
+
+    return spmm_ell(idx, w, x)
