@@ -83,8 +83,38 @@ def _fit_once(config, train_ds, valid_ds, info, fold: Optional[int] = None,
               seed: Optional[int] = None):
     from kgcn_tpu.data import Batcher
 
-    trainer = _make_trainer(config, info)
+    mesh_cfg = config.get("mesh")
     bs = int(config["batch_size"])
+    if mesh_cfg:
+        # data-parallel training over a device mesh (config: {"data": N};
+        # batch_size is the PER-DEVICE batch)
+        import jax
+
+        from kgcn_tpu.models.registry import build_model
+        from kgcn_tpu.parallel.dp import DPTrainer, ShardedBatcher
+        from kgcn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dict(mesh_cfg))
+        n_shards = mesh.shape.get("data", len(jax.devices()))
+        model = build_model(config["model.py"], info, config)
+        trainer = DPTrainer(model, config, info, mesh=mesh)
+        tb = ShardedBatcher(Batcher(train_ds, info, bs, seed=seed or 0), n_shards)
+        vb = (
+            ShardedBatcher(Batcher(valid_ds, info, bs), n_shards)
+            if valid_ds is not None
+            else None
+        )
+        state = trainer.init_state(
+            tb.make_batch(np.arange(min(bs * n_shards, train_ds.num))),
+            seed=seed if seed is not None else int(config.get("seed", 0)),
+        )
+        if config.get("retrain"):
+            state = trainer.restore(state, config["retrain"])
+            print(f"[LOAD] {config['retrain']}")
+        state, fit_info = trainer.fit(state, tb, vb, fold=fold)
+        return trainer, state, fit_info, vb
+
+    trainer = _make_trainer(config, info)
     tb = Batcher(train_ds, info, bs, seed=seed or 0)
     vb = Batcher(valid_ds, info, bs) if valid_ds is not None else None
     state = trainer.init_state(tb.make_batch(np.arange(min(bs, train_ds.num))),
