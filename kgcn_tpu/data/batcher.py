@@ -63,6 +63,7 @@ class Batcher:
         per_graph = info.edge_budget_per_graph or self._scan_edge_budget()
         self.edge_budget = edge_budget or pad_edge_budget(per_graph * self.batch_size)
         self.epsilon_dim = epsilon_dim
+        self.seed = int(seed)
         self._rng = np.random.RandomState(seed)
         self._native = None
         self._prepare_native()
@@ -187,10 +188,17 @@ class Batcher:
         n, bs = self.ds.num, self.batch_size
         return [min(bs, n - s) for s in range(0, n, bs)]
 
-    def epoch_indices(self, shuffle: bool = True) -> np.ndarray:
+    def epoch_indices(self, shuffle: bool = True,
+                      epoch: Optional[int] = None) -> np.ndarray:
+        """Epoch order; with ``epoch`` given the permutation is a pure
+        function of (seed, epoch) → training resumed from a checkpoint
+        replays the exact data order (SURVEY §5: deterministic resume)."""
         idx = np.arange(self.ds.num)
         if shuffle:
-            self._rng.shuffle(idx)
+            if epoch is not None:
+                np.random.RandomState((self.seed * 100003 + epoch) % (2**31)).shuffle(idx)
+            else:
+                self._rng.shuffle(idx)
         return idx
 
     def make_batch(self, idx: np.ndarray) -> Batch:
@@ -290,7 +298,8 @@ class Batcher:
             rng_normal=eps,
         )
 
-    def batches(self, shuffle: bool = True) -> Iterator[Batch]:
-        idx = self.epoch_indices(shuffle)
+    def batches(self, shuffle: bool = True,
+                epoch: Optional[int] = None) -> Iterator[Batch]:
+        idx = self.epoch_indices(shuffle, epoch=epoch)
         for start in range(0, len(idx), self.batch_size):
             yield self.make_batch(idx[start : start + self.batch_size])

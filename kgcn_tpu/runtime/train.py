@@ -191,14 +191,19 @@ class Trainer:
         return self._eval_step
 
     # ---- loops ---------------------------------------------------------
-    def run_epoch(self, state: TrainState, batcher: Batcher, shuffle=True):
+    def run_epoch(self, state: TrainState, batcher: Batcher, shuffle=True,
+                  epoch: Optional[int] = None):
         # Keep per-step outputs on device and fetch once at epoch end — a
         # per-step float() would synchronise with the device every batch
         # (30 ms/step through a tunnel-attached TPU).
         costs, n_total = [], 0
         metric_list = []
         known = getattr(batcher, "valid_per_epoch", None)
-        for batch in prefetch(batcher.batches(shuffle=shuffle)):
+        try:
+            it = batcher.batches(shuffle=shuffle, epoch=epoch)
+        except TypeError:  # batchers without deterministic epoch support
+            it = batcher.batches(shuffle=shuffle)
+        for batch in prefetch(it):
             state, cost_sum, metrics = self.train_step(state, batch)
             costs.append(cost_sum)
             if known is None:
@@ -285,9 +290,11 @@ class Trainer:
         history: List[Dict[str, Any]] = []
         t0 = time.time()
 
-        for epoch in range(epochs):
+        start_epoch = int(getattr(state, "epoch", 0) or 0)
+        for epoch in range(start_epoch, epochs):
             state, train_cost, train_metrics, n_train = self.run_epoch(
-                state, train_batcher, shuffle=cfg.get("shuffle_data", True)
+                state, train_batcher, shuffle=cfg.get("shuffle_data", True),
+                epoch=epoch,
             )
             if not np.isfinite(train_cost):
                 log(f"[abort] non-finite training cost at epoch {epoch}")

@@ -49,7 +49,7 @@ def test_gcn_learns_ring_task(tmp_path):
     assert len(result["history"]) > 0
 
 
-@pytest.mark.parametrize("name,epochs,threshold", [("gin", 30, 0.8), ("gat", 45, 0.7)])
+@pytest.mark.parametrize("name,epochs,threshold", [("gin", 30, 0.8), ("gat", 80, 0.7)])
 def test_other_models_learn(tmp_path, name, epochs, threshold):
     # GAT is the weakest reference architecture (sigmoid-squashed single-head
     # attention, kgcn/layers.py:535) — it learns the ring task slowly.
