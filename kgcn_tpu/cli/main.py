@@ -174,10 +174,11 @@ def cmd_train(config) -> Dict[str, Any]:
     from kgcn_tpu.runtime.metrics import compute_metrics
 
     task = config.get("task", "")
+    preloaded = None
     if task == "link_prediction" or config.get("with_node_embedding"):
-        ds, info = _prepare(config)
-        if ds.label_list is not None:
-            return cmd_train_kg(config, ds, info)
+        preloaded = _prepare(config)
+        if preloaded[0].label_list is not None:
+            return cmd_train_kg(config, *preloaded)
     if config.get("validation_dataset"):
         train_ds, info = _prepare(config)
         valid_ds, valid_info = _prepare(config, dataset_key="validation_dataset")
@@ -186,7 +187,7 @@ def cmd_train(config) -> Dict[str, Any]:
             train_ds.max_node_num, valid_ds.max_node_num
         )
     else:
-        ds, info = _prepare(config)
+        ds, info = preloaded if preloaded is not None else _prepare(config)
         train_ds, valid_ds, _, _ = split_dataset(
             ds, config.get("validation_data_rate", 0.3),
             seed=int(config.get("seed", 0)),

@@ -48,6 +48,20 @@ def _flat(x: jnp.ndarray, graph: GraphBatch) -> jnp.ndarray:
     return x
 
 
+def per_channel_glorot():
+    """Glorot-uniform computed over the LAST TWO dims only — a [C, Fin, Fout]
+    kernel initialises each channel like the reference's independent
+    per-channel (Fin, Fout) weights (kgcn/layers.py:52-57), whereas jax's
+    default would fold C into the fan."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[-2], shape[-1]
+        limit = (6.0 / (fan_in + fan_out)) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
 def glorot_uniform_nd():
     """Glorot-uniform matching Keras's fan computation for ANY rank —
     including the 1-D relation vectors the reference initialises this way
@@ -75,7 +89,7 @@ class GraphConv(nn.Module):
 
     features: int
     channels: int = 1
-    kernel_init: Callable = nn.initializers.glorot_uniform()
+    kernel_init: Callable = per_channel_glorot()
 
     @nn.compact
     def __call__(self, x, graph: GraphBatch):
@@ -128,7 +142,7 @@ class GAT(nn.Module):
 
     channels: int = 1
     normalize: str = "receiver"
-    kernel_init: Callable = nn.initializers.glorot_uniform()
+    kernel_init: Callable = per_channel_glorot()
 
     @nn.compact
     def __call__(self, x, graph: GraphBatch):
