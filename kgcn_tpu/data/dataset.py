@@ -357,3 +357,11 @@ def kfold_indices(n: int, k: int, seed: int = 0, stratify: Optional[np.ndarray] 
         return list(kf.split(np.zeros(n), stratify))
     kf = KFold(n_splits=k, shuffle=True, random_state=seed)
     return list(kf.split(np.zeros(n)))
+
+
+def shard_for_host(ds: Dataset, host_id: int, num_hosts: int) -> Dataset:
+    """Per-host shard of a dataset for multi-host input pipelines
+    (SURVEY §2.11: per-host sharded jbl/TFRecord ingest): host h takes
+    examples h, h+H, h+2H, ...  Deterministic and disjoint across hosts."""
+    idx = np.arange(host_id, ds.num, num_hosts)
+    return ds.subset(idx)

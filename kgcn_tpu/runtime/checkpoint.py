@@ -16,15 +16,38 @@ import jax
 from flax import serialization
 
 
-def save_checkpoint(path: str, tree: Dict[str, Any]) -> str:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+def save_checkpoint(path: str, tree: Dict[str, Any], fmt: str = "msgpack") -> str:
+    """fmt='msgpack' (single self-describing file, default) or 'orbax'
+    (directory tree via orbax — useful for very large / sharded params)."""
     tree = jax.device_get(tree)
+    if fmt == "orbax":
+        return _save_orbax(path, tree)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(tree))
     return path
 
 
+def _save_orbax(path: str, tree) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, tree)
+    ckptr.wait_until_finished()
+    return path
+
+
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
+    if os.path.isdir(path):  # orbax directory checkpoint
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path), target)
     with open(path, "rb") as f:
         data = f.read()
     if target is not None:
