@@ -67,6 +67,8 @@ class Batcher:
         self._rng = np.random.RandomState(seed)
         self._native = None
         self._prepare_native()
+        self._ell = None
+        self._prepare_ell()
 
     def _prepare_native(self) -> None:
         """Precompute flat COO blocks so each batch is one native C call
@@ -167,6 +169,65 @@ class Batcher:
             max_nodes=N,
         )
 
+    # max in-degree above which the padded-neighbour-list (ELL) layout stops
+    # paying off and layers fall back to COO segment-sum
+    ELL_MAX_DEGREE = 32
+
+    def _prepare_ell(self) -> None:
+        """Per-graph ELL (padded per-row neighbour lists) built once; batches
+        assemble them by concatenation + node-offset — giving layers the
+        scatter-free aggregation path (see kgcn_tpu/ops/ell.py)."""
+        ds = self.ds
+        if ds.adjs is None:
+            return
+        from kgcn_tpu.ops.ell import coo_to_ell
+
+        C = len(ds.adjs[0])
+        N = self.max_nodes
+        max_deg = 0
+        total_edges = 0
+        total_nodes = 0
+        for gs in ds.adjs:
+            for (r, c, v) in gs:
+                total_edges += len(r)
+                if len(r):
+                    deg = np.bincount(np.asarray(r), minlength=1).max()
+                    max_deg = max(max_deg, int(deg))
+            total_nodes += N * C
+        if max_deg == 0 or max_deg > self.ELL_MAX_DEGREE:
+            return
+        # padded-slot waste: V·K vs E — beyond ~2x the gather-heavy ELL
+        # layout loses to COO segment-sum (measured on TPU)
+        if total_nodes * max_deg > 2.0 * max(total_edges, 1):
+            return
+        K = max_deg
+        per_graph = np.zeros((len(ds.adjs), C, N, K), np.int32)
+        per_graph_w = np.zeros((len(ds.adjs), C, N, K), np.float32)
+        for g, gs in enumerate(ds.adjs):
+            for c, (r, cc, v) in enumerate(gs):
+                idx, w = coo_to_ell(cc, r, v, N, max_degree=K)
+                per_graph[g, c] = idx
+                per_graph_w[g, c] = w
+        self._ell = {"idx": per_graph, "w": per_graph_w, "K": K}
+
+    def _ell_arrays(self, idx: np.ndarray, B: int):
+        """Batch-assembled [C, B*N, K] ELL arrays for graph indices ``idx``."""
+        if self._ell is None:
+            return None, None
+        N = self.max_nodes
+        K = self._ell["K"]
+        gi = self._ell["idx"][idx]  # [G, C, N, K]
+        gw = self._ell["w"][idx]
+        G = len(idx)
+        offs = (np.arange(G, dtype=np.int32) * N)[:, None, None, None]
+        gi = gi + offs * (gw != 0)  # padding slots stay at global 0
+        C = gi.shape[1]
+        out_i = np.zeros((C, B * N, K), np.int32)
+        out_w = np.zeros((C, B * N, K), np.float32)
+        out_i[:, : G * N] = np.transpose(gi, (1, 0, 2, 3)).reshape(C, G * N, K)
+        out_w[:, : G * N] = np.transpose(gw, (1, 0, 2, 3)).reshape(C, G * N, K)
+        return jnp.asarray(out_i), jnp.asarray(out_w)
+
     def _scan_edge_budget(self) -> int:
         if self.ds.adjs is None:
             return 1
@@ -212,6 +273,9 @@ class Batcher:
 
         graph = self._native_graph(idx, B)
         if graph is not None:
+            ei, ew = self._ell_arrays(idx, B)
+            if ei is not None:
+                graph = graph.replace(ell_senders=ei, ell_weights=ew)
             return self._finish_batch(graph, idx, G, B)
 
         if ds.adjs is not None:
@@ -242,6 +306,9 @@ class Batcher:
             edge_budget=self.edge_budget,
             n_graph=B,
         )
+        ei, ew = self._ell_arrays(idx, B)
+        if ei is not None:
+            graph = graph.replace(ell_senders=ei, ell_weights=ew)
         return self._finish_batch(graph, idx, G, B)
 
     def _finish_batch(self, graph, idx, G: int, B: int) -> Batch:

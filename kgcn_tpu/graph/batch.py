@@ -79,6 +79,11 @@ class GraphBatch:
     # Optional cached dense adjacency [C, B, N, N] for the MXU path; populate
     # once per forward with ``with_dense_adj()`` so all layers share it.
     dense_adj: Optional[jnp.ndarray] = None
+    # Optional ELL neighbour lists ``[C, V, K]`` (padded per-row senders +
+    # weights) — the scatter-free sparse path; built by the Batcher when the
+    # per-node degree is bounded.  Padding slots: index 0, weight 0.
+    ell_senders: Optional[jnp.ndarray] = None
+    ell_weights: Optional[jnp.ndarray] = None
     n_graph: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=1)
 

@@ -104,6 +104,12 @@ class GraphConv(nn.Module):
             out = gconv_dense(graph.dense_adj, xb, w, b)
             return out.reshape(graph.total_nodes, F_out)
         hw = jnp.einsum("vf,cfo->cvo", x, w) + b[:, None, :]
+        if graph.ell_senders is not None:
+            # scatter-free padded-neighbour-list aggregation
+            gathered = jax.vmap(lambda h, i: h[i])(hw, graph.ell_senders)
+            return jnp.einsum(
+                "cvk,cvkf->vf", graph.ell_weights.astype(hw.dtype), gathered
+            )
         return spmm_multichannel(
             graph.senders, graph.receivers, graph.edge_weights, hw,
             graph.total_nodes,
@@ -123,6 +129,11 @@ class GINAggregate(nn.Module):
         if graph.dense_adj is not None:
             xb = x.reshape(graph.n_graph, graph.max_nodes, -1)
             agg = spmm_dense(graph.dense_adj, xb).reshape(x.shape)
+        elif graph.ell_senders is not None:
+            gathered = x[graph.ell_senders]  # [C, V, K, F]
+            agg = jnp.einsum(
+                "cvk,cvkf->vf", graph.ell_weights.astype(x.dtype), gathered
+            )
         else:
             agg = spmm_multichannel(
                 graph.senders, graph.receivers, graph.edge_weights, x,

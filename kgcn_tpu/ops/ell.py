@@ -19,25 +19,29 @@ def coo_to_ell(senders, receivers, weights, num_nodes: int,
                max_degree: int | None = None):
     """Host-side conversion: packed COO → (idx [V,K], w [V,K]).
 
-    Padding slots point at node 0 with weight 0 (harmless for weighted sums).
+    Fully vectorised (sort + searchsorted slot ranks).  Padding slots point
+    at node 0 with weight 0 (harmless for weighted sums).  Edges beyond
+    ``max_degree`` per row are DROPPED — pass None to size K to the true max.
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     weights = np.asarray(weights)
     valid = weights != 0
-    deg = np.zeros(num_nodes, np.int64)
-    np.add.at(deg, receivers[valid], 1)
-    K = int(max_degree or (deg.max() if len(deg) else 1) or 1)
-    idx = np.zeros((num_nodes, K), np.int32)
-    w = np.zeros((num_nodes, K), np.float32)
-    slot = np.zeros(num_nodes, np.int64)
-    for e in np.nonzero(valid)[0]:
-        r = receivers[e]
-        s = slot[r]
-        if s < K:
-            idx[r, s] = senders[e]
-            w[r, s] = weights[e]
-            slot[r] = s + 1
+    s, r, w_v = senders[valid], receivers[valid], weights[valid]
+    order = np.argsort(r, kind="stable")
+    r_sorted = r[order]
+    first = np.searchsorted(r_sorted, r_sorted, side="left")
+    slot = np.arange(len(r_sorted)) - first
+    if max_degree is None:
+        K = int(slot.max()) + 1 if len(slot) else 1
+    else:
+        K = int(max_degree)
+        keep = slot < K
+        order, r_sorted, slot = order[keep], r_sorted[keep], slot[keep]
+    idx = np.zeros((num_nodes, max(K, 1)), np.int32)
+    w = np.zeros((num_nodes, max(K, 1)), np.float32)
+    idx[r_sorted, slot] = s[order]
+    w[r_sorted, slot] = w_v[order]
     return idx, w
 
 

@@ -108,3 +108,26 @@ def test_pallas_gconv_interpret_mode():
             )
     finally:
         pl.pallas_call = orig
+
+
+def test_batcher_ell_path_matches_coo():
+    """Batcher-built ELL arrays drive GraphConv/GIN identically to COO."""
+    from kgcn_tpu.data import Batcher, build_dataset
+    from kgcn_tpu.data.synthetic import make_random_graphs
+    from kgcn_tpu import nn as knn
+
+    data = make_random_graphs(9, 8, 5, num_channels=2, seed=4)
+    ds, info = build_dataset(data, {})
+    b = Batcher(ds, info, 6, seed=0)
+    batch = b.make_batch(np.array([1, 3, 5, 7]))  # partial batch too
+    g = batch.graph
+    assert g.ell_senders is not None
+    g_coo = g.replace(ell_senders=None, ell_weights=None)
+    x = batch.graph.nodes
+    for layer in (knn.GraphConv(7, channels=2), knn.GINAggregate(channels=2)):
+        params = layer.init(jax.random.PRNGKey(0), x, g_coo)
+        out_coo = layer.apply(params, x, g_coo)
+        out_ell = layer.apply(params, x, g)
+        np.testing.assert_allclose(
+            np.asarray(out_ell), np.asarray(out_coo), rtol=1e-5, atol=1e-5
+        )
