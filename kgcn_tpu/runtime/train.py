@@ -397,4 +397,7 @@ class Trainer:
             opt_state=tree["opt_state"],
             step=jnp.asarray(tree["step"]),
             rng=jnp.asarray(tree["rng"]),
+            # resume AFTER the saved epoch; combined with the (seed, epoch)
+            # deterministic shuffle this replays the exact data order
+            epoch=int(tree.get("epoch", -1)) + 1,
         )

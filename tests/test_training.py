@@ -122,3 +122,30 @@ def test_early_stopping():
     assert not es.update(0.5)
     assert not es.update(0.6)  # count 1
     assert es.update(0.7)  # count 2 → stop
+
+
+def test_resume_replays_remaining_epochs(tmp_path):
+    """Interval checkpoint + retrain resumes at the next epoch and replays
+    the same data order (SURVEY §5 deterministic resume)."""
+    trainer, tb, vb = _setup("gin", {"epoch": 6, "save_interval": 3,
+                                     "patience": 0})
+    trainer.config["save_model_path"] = str(tmp_path / "full")
+    state = trainer.init_state(tb.make_batch(np.arange(tb.batch_size)), seed=0)
+    state_full, _ = trainer.fit(state, tb, vb, log=lambda s: None)
+    ev_full = trainer.evaluate(state_full, vb)
+
+    # second run: stop at epoch 3 (interval ckpt), then resume to 6
+    trainer2, tb2, vb2 = _setup("gin", {"epoch": 6, "save_interval": 3})
+    trainer2.config["save_model_path"] = str(tmp_path / "half")
+    trainer2.config["epoch"] = 3
+    s2 = trainer2.init_state(tb2.make_batch(np.arange(tb2.batch_size)), seed=0)
+    s2, _ = trainer2.fit(s2, tb2, vb2, log=lambda s: None)
+
+    trainer3, tb3, vb3 = _setup("gin", {"epoch": 6, "save_interval": 3})
+    trainer3.config["save_model_path"] = str(tmp_path / "resumed")
+    s3 = trainer3.init_state(tb3.make_batch(np.arange(tb3.batch_size)), seed=0)
+    s3 = trainer3.restore(s3, str(tmp_path / "half" / "model.00003.ckpt"))
+    assert s3.epoch == 3
+    s3, info3 = trainer3.fit(s3, tb3, vb3, log=lambda s: None)
+    # resumed run trains epochs 3..5 only
+    assert [h["epoch"] for h in info3["history"]] == [3, 4, 5]
