@@ -218,7 +218,12 @@ def cmd_train(config) -> Dict[str, Any]:
             validation_accuracy=valid_metrics,
             infer_time=infer_time,
         )
-        if task != "link_prediction" and valid_ds.labels is not None:
+        if (
+            task != "link_prediction"
+            and valid_ds.labels is not None
+            and valid_ds.node_label is None  # node-centric predictions have
+            # per-node shape; the sklearn battery applies to graph-level tasks
+        ):
             result["valid_metrics"] = compute_metrics(
                 config, valid_ds.labels, ev["prediction"], valid_ds.mask_label
             )
@@ -294,7 +299,9 @@ def cmd_train_cv(config) -> Dict[str, Any]:
                 np.asarray(ev["metrics"].get(f"test_{metric_name}", np.nan)).mean()
             ),
         }
-        if config.get("task") != "link_prediction" and test_ds.labels is not None:
+        if (config.get("task") != "link_prediction"
+                and test_ds.labels is not None
+                and test_ds.node_label is None):
             entry["test_metrics"] = compute_metrics(
                 config, test_ds.labels, ev["prediction"], test_ds.mask_label
             )
@@ -409,7 +416,8 @@ def cmd_infer(config) -> Dict[str, Any]:
     result["test_metrics_protocol"] = {
         k: np.asarray(v).tolist() for k, v in ev["metrics"].items()
     }
-    if ds.labels is not None and config.get("task") != "link_prediction":
+    if (ds.labels is not None and config.get("task") != "link_prediction"
+            and ds.node_label is None):
         result["test_metrics"] = compute_metrics(
             config, ds.labels, ev["prediction"], ds.mask_label
         )
