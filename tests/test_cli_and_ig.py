@@ -137,3 +137,24 @@ def test_ig_methods_run(workdir):
             steps=5, method=method, target="max",
         )
         assert np.isfinite(igs["features_IG"]).all()
+
+
+def test_separate_validation_dataset(tmp_path):
+    """validation_dataset config path (reference: gcn.py:262-269)."""
+    import joblib
+
+    from kgcn_tpu.cli.main import cmd_train
+    from kgcn_tpu.runtime.config import load_config
+
+    joblib.dump(make_ring_dataset(num_pairs=15, seed=0), tmp_path / "train.jbl")
+    joblib.dump(make_ring_dataset(num_pairs=5, seed=1), tmp_path / "valid.jbl")
+    cfg = load_config(None, {
+        "model.py": "gcn",
+        "dataset": str(tmp_path / "train.jbl"),
+        "validation_dataset": str(tmp_path / "valid.jbl"),
+        "epoch": 3, "batch_size": 10, "learning_rate": 0.01,
+        "task": "classification", "save_interval": 0,
+        "save_model_path": str(tmp_path / "model"), "make_plot": False,
+    })
+    result = cmd_train(cfg)
+    assert "validation_cost" in result
