@@ -113,7 +113,20 @@ class Trainer:
         self.config = config
         self.info = info
         lr = config.get("learning_rate", 1e-3)
-        self.tx = tx or optax.adam(lr)
+        if tx is None:
+            # TPU-build additions over the reference's bare Adam
+            # (kgcn/core.py:121-127): optional global-norm clipping and
+            # decoupled weight decay
+            parts = []
+            clip = config.get("gradient_clip")
+            if clip:
+                parts.append(optax.clip_by_global_norm(float(clip)))
+            wd = config.get("weight_decay")
+            parts.append(
+                optax.adamw(lr, weight_decay=float(wd)) if wd else optax.adam(lr)
+            )
+            tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+        self.tx = tx
         self._train_step = None
         self._eval_step = None
 
