@@ -35,10 +35,16 @@ class SparseGCN(nn.Module):
     dense_dim: int = 256
     batch_normalize: bool = True
     topk: Tuple[int, ...] = (30, 50)
+    # up to this many (lane-aligned) nodes per graph, the dense-MXU
+    # aggregation path beats every sparse layout by >10x (MEASURED.md);
+    # beyond it, memory O(B·N²) forces the edge-list path
+    dense_threshold: int = 256
 
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> ModelOutput:
-        g = batch.graph  # sparse path: edge lists, no dense adjacency
+        g = batch.graph
+        if g.max_nodes <= self.dense_threshold:
+            g = g.with_dense_adj()
         x = g.nodes
         for dim in self.out_dims:
             x = jax.nn.relu(knn.GraphConv(dim, self.channels)(x, g))
