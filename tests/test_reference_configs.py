@@ -13,6 +13,7 @@ REF = "/root/reference"
     ("sample.json", "example_jbl/synthetic.jbl"),
     ("gin.json", "example_jbl/synthetic.jbl"),
     ("synth.json", "example_jbl/synthetic.jbl"),
+    ("multiadj.json", "example_jbl/sample_multiadj.jbl"),
 ])
 def test_reference_config_runs(tmp_path, config_name, dataset):
     src_cfg = os.path.join(REF, "example_config", config_name)
@@ -27,6 +28,10 @@ def test_reference_config_runs(tmp_path, config_name, dataset):
     shutil.copy(src_data, data_path)
     cfg["dataset"] = str(data_path)
     cfg["epoch"] = 3  # keep the test fast
+    if cfg.get("model.py") == "example_model.model":
+        cfg["model.py"] = "gcn"  # module-only form of the default model
+    cfg.setdefault("validation_data_rate", 0.3)
+    cfg["learning_rate"] = min(float(cfg.get("learning_rate", 0.01)), 0.05)
     cfg["save_model_path"] = str(tmp_path / "model")
     for k in list(cfg):
         if k.startswith("save_result") or k.startswith("save_info"):
