@@ -85,15 +85,26 @@ def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
     )
     t_dense = _chain_time(dense_fn, x0, iters=2000)
 
+    # mixed-precision path: bf16 adjacency+features halve HBM traffic on the
+    # (memory-bound) fused aggregation — the framework's `precision: bfloat16`
+    adj16 = adj.astype(jnp.bfloat16)
+    dense16_fn = jax.jit(
+        lambda x: spmm_dense(
+            adj16, x.reshape(g.n_graph, g.max_nodes, F)
+        ).reshape(V, F)
+    )
+    t_dense16 = _chain_time(dense16_fn, x0.astype(jnp.bfloat16), iters=2000)
+
     return {
         "edges": n_edges,
         "coo_segment_sum_edges_per_s": n_edges / t_coo,
         "ell_gather_edges_per_s": n_edges / t_ell,
         "dense_mxu_edges_per_s": n_edges / t_dense,
+        "dense_mxu_bf16_edges_per_s": n_edges / t_dense16,
     }
 
 
-def bench_train(B=256, N=64, F=32, iters=300, seed=0):
+def bench_train(B=256, N=64, F=32, iters=300, seed=0, precision="float32"):
     import jax
 
     from kgcn_tpu.data import Batcher, build_dataset
@@ -103,7 +114,9 @@ def bench_train(B=256, N=64, F=32, iters=300, seed=0):
     from kgcn_tpu.runtime.train import Trainer
 
     cfg = default_config()
-    cfg.update({"task": "classification", "learning_rate": 1e-3})
+    cfg.update(
+        {"task": "classification", "learning_rate": 1e-3, "precision": precision}
+    )
     data = make_random_graphs(B, N, F, avg_degree=6, seed=seed)
     ds, info = build_dataset(data, cfg)
     b = Batcher(ds, info, B, seed=seed)
@@ -111,6 +124,7 @@ def bench_train(B=256, N=64, F=32, iters=300, seed=0):
     model = build_model("gcn", info, cfg)
     trainer = Trainer(model, cfg, info)
     state = trainer.init_state(batch, seed=0)
+    batch = trainer._cast(batch)  # honour the precision setting in the loop
 
     # device-side loop over the full train step (same batch re-used)
     import jax
@@ -168,8 +182,12 @@ def main():
     jax.device_get(jnp.zeros(()))
     agg = bench_aggregation()
     train = bench_train()
+    train_bf16 = bench_train(precision="bfloat16")
+    train["train_step_s_bf16"] = train_bf16["train_step_s"]
+    train["train_graphs_per_s_bf16"] = train_bf16["train_graphs_per_s"]
     best = max(
         agg["dense_mxu_edges_per_s"],
+        agg["dense_mxu_bf16_edges_per_s"],
         agg["ell_gather_edges_per_s"],
         agg["coo_segment_sum_edges_per_s"],
     )

@@ -42,6 +42,21 @@ class Batch:
     def num_valid(self) -> jnp.ndarray:
         return jnp.sum(self.pad_mask)
 
+    def cast_compute(self, dtype) -> "Batch":
+        """Cast compute-path floats (graph payload, vector modals, VAE ε) to
+        ``dtype`` for mixed-precision execution.  Labels, masks, and integer
+        id tensors stay as-is — losses and metrics run in float32."""
+        vm = self.vector_modal
+        if vm is not None:
+            vm = tuple(v.astype(dtype) for v in vm)
+        return self.replace(
+            graph=self.graph.astype(dtype),
+            vector_modal=vm,
+            rng_normal=(
+                None if self.rng_normal is None else self.rng_normal.astype(dtype)
+            ),
+        )
+
 
 class Batcher:
     """Yields fixed-shape ``Batch`` pytrees from a host Dataset."""

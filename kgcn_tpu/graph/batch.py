@@ -117,7 +117,7 @@ class GraphBatch:
         iota = jnp.arange(self.edge_budget, dtype=jnp.int32)[None, :]
         return (iota < self.n_edge[:, None]).astype(jnp.float32)
 
-    def dense_adjacency(self, dtype=jnp.float32) -> jnp.ndarray:
+    def dense_adjacency(self, dtype=None) -> jnp.ndarray:
         """Materialise ``[C, B, N, N]`` dense adjacency from the COO lists.
 
         Built on device with one scatter-add per channel; padding edges carry
@@ -126,6 +126,8 @@ class GraphBatch:
         """
         C, E = self.senders.shape
         B, N = self.n_graph, self.max_nodes
+        if dtype is None:  # follow the payload dtype (mixed-precision path)
+            dtype = self.edge_weights.dtype
         out = jnp.zeros((C, B * N * N), dtype=dtype)
         # receiver row, sender col: out[r, s] += w  (A @ X aggregates senders
         # into receivers, matching A·X in the reference GraphConv,
@@ -136,6 +138,23 @@ class GraphBatch:
             lambda o, f, w: o.at[f].add(w)
         )(out, flat, self.edge_weights.astype(dtype))
         return out.reshape(C, B, N, N)
+
+    def astype(self, dtype) -> "GraphBatch":
+        """Cast the floating-point payload (features, weights, cached dense
+        adjacency, masks) to ``dtype`` — the mixed-precision hook.  With
+        ``jnp.bfloat16`` every aggregation matmul runs as a true bf16 MXU op
+        with halved HBM traffic; integer index arrays are untouched."""
+
+        def cast(a):
+            return None if a is None else a.astype(dtype)
+
+        return self.replace(
+            edge_weights=cast(self.edge_weights),
+            node_mask=cast(self.node_mask),
+            nodes=cast(self.nodes),
+            dense_adj=cast(self.dense_adj),
+            ell_weights=cast(self.ell_weights),
+        )
 
     def with_dense_adj(self) -> "GraphBatch":
         """Return a copy carrying the materialised dense adjacency (no-op if

@@ -53,7 +53,9 @@ class SparseGCN(nn.Module):
             x = knn.GraphBatchNormalization()(x, g, use_running_average=not train)
         x = jax.nn.relu(x)
         h = jnp.tanh(knn.GraphGather()(x, g))  # per-graph sum readout
-        logits = nn.Dense(self.num_classes)(h)
+        # the 20k-class head is the heaviest matmul after aggregation —
+        # run it in the compute dtype, take the loss in float32
+        logits = nn.Dense(self.num_classes, dtype=h.dtype)(h).astype(jnp.float32)
 
         labels = batch.labels
         if labels.ndim > 1:

@@ -22,6 +22,7 @@ def softmax_ce_cost(logits, labels, pad_mask):
     """Per-example masked softmax CE → (cost_opt, cost_sum, prediction,
     correct_count) — the recurring block of the reference models
     (example_model/model.py:57-69)."""
+    logits = logits.astype(jnp.float32)  # losses always in full precision
     logp = jax.nn.log_softmax(logits, axis=-1)
     cost = -jnp.sum(labels * logp, axis=-1) * pad_mask
     prediction = jax.nn.softmax(logits, axis=-1)
@@ -157,7 +158,7 @@ class GCNMultitask(nn.Module):
         x = jax.nn.sigmoid(x)
         x = jax.nn.sigmoid(knn.GraphDense(self.hidden)(x, g))
         h = knn.GraphGather()(x, g)
-        logits = nn.Dense(self.label_dim)(h)
+        logits = nn.Dense(self.label_dim)(h).astype(jnp.float32)
 
         labels = batch.labels.astype(jnp.float32)
         mask_label = (
@@ -222,7 +223,7 @@ class GCNNodeLabel(nn.Module):
             x = jax.nn.relu(x)
         logits_flat = knn.GraphConv(self.label_dim, self.channels)(x, g)
         B, N = g.n_graph, g.max_nodes
-        logits = logits_flat.reshape(B, N, self.label_dim)
+        logits = logits_flat.reshape(B, N, self.label_dim).astype(jnp.float32)
         labels = batch.node_label.astype(jnp.float32)
         pad = batch.pad_mask
 

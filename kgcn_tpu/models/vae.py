@@ -22,6 +22,7 @@ from kgcn_tpu.models.base import ModelOutput
 
 
 def _bce(labels, logits):
+    logits = logits.astype(jnp.float32)
     return (
         jnp.maximum(logits, 0)
         - logits * labels

@@ -95,8 +95,10 @@ class GraphConv(nn.Module):
     def __call__(self, x, graph: GraphBatch):
         x = _flat(x, graph)
         C, F_in, F_out = self.channels, x.shape[-1], self.features
-        w = self.param("kernel", self.kernel_init, (C, F_in, F_out))
-        b = self.param("bias", nn.initializers.zeros, (C, F_out))
+        # Params live in float32; casting them to the activation dtype makes
+        # every matmul a true mixed-precision (e.g. bf16) MXU op.
+        w = self.param("kernel", self.kernel_init, (C, F_in, F_out)).astype(x.dtype)
+        b = self.param("bias", nn.initializers.zeros, (C, F_out)).astype(x.dtype)
         if graph.dense_adj is not None:
             from kgcn_tpu.ops.spmm import gconv_dense
 
@@ -139,7 +141,7 @@ class GINAggregate(nn.Module):
                 graph.senders, graph.receivers, graph.edge_weights, x,
                 graph.total_nodes,
             )
-        return jnp.sum(eps) * x + agg
+        return jnp.sum(eps).astype(x.dtype) * x + agg
 
 
 class GAT(nn.Module):
@@ -159,17 +161,21 @@ class GAT(nn.Module):
     def __call__(self, x, graph: GraphBatch):
         x = _flat(x, graph)
         F = x.shape[-1]
-        a = self.param("attn", self.kernel_init, (self.channels, 2 * F, 1))
+        a = self.param("attn", self.kernel_init, (self.channels, 2 * F, 1)).astype(
+            x.dtype
+        )
         V = graph.total_nodes
         outs = []
         edge_mask = graph.edge_mask()
         for c in range(self.channels):
             s, r = graph.senders[c], graph.receivers[c]
             xs, xr = x[s], x[r]
-            # logits = leakyrelu([x_sender ‖ x_receiver] · a)
+            # logits = leakyrelu([x_sender ‖ x_receiver] · a); the softmax
+            # itself runs in float32 regardless of the compute dtype (exp of
+            # bf16 logits loses too much resolution)
             logit = (
                 xs @ a[c, :F, 0] + xr @ a[c, F:, 0]
-            )
+            ).astype(jnp.float32)
             # tf.nn.leaky_relu default alpha=0.2 (reference kgcn/layers.py:528)
             logit = nn.leaky_relu(logit, negative_slope=0.2)
             if self.normalize == "receiver":
@@ -179,7 +185,7 @@ class GAT(nn.Module):
                 e = jnp.exp(logit) * edge_mask[c]
                 denom = segment.segment_sum(e, r, V)
                 alpha = e / (denom[s] + 1e-10)
-            agg = segment.segment_sum(alpha[:, None] * xs, r, V)
+            agg = segment.segment_sum(alpha.astype(x.dtype)[:, None] * xs, r, V)
             outs.append(jax.nn.sigmoid(agg))
         return sum(outs)
 
@@ -246,9 +252,9 @@ class GraphDense(nn.Module):
     def __call__(self, x, graph: Optional[GraphBatch] = None):
         if graph is not None:
             x = _flat(x, graph)
-        out = nn.Dense(self.features, use_bias=self.use_bias)(x)
+        out = nn.Dense(self.features, use_bias=self.use_bias, dtype=x.dtype)(x)
         if graph is not None and self.mask_output:
-            out = out * graph.node_mask[:, None]
+            out = out * graph.node_mask.astype(out.dtype)[:, None]
         return out
 
 
@@ -274,10 +280,11 @@ class GraphBatchNormalization(nn.Module):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        x = _flat(x, graph)
+        in_dtype = x.dtype
+        x = _flat(x, graph).astype(jnp.float32)  # moments in full precision
         F = x.shape[-1]
-        mask = graph.node_mask[:, None]
-        count = jnp.maximum(jnp.sum(graph.node_mask), 1.0)
+        mask = graph.node_mask.astype(jnp.float32)[:, None]
+        count = jnp.maximum(jnp.sum(mask), 1.0)
 
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((F,), jnp.float32)
@@ -298,7 +305,7 @@ class GraphBatchNormalization(nn.Module):
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return y * mask
+        return (y * mask).astype(in_dtype)
 
 
 class NodeEmbedding(nn.Module):
@@ -335,7 +342,7 @@ class GraphDecoderDistMult(nn.Module):
     def __call__(self, z, graph: GraphBatch):
         z = _flat(z, graph)
         zb = z.reshape(graph.n_graph, graph.max_nodes, -1)
-        w = self.param("kernel", self.kernel_init, (zb.shape[-1],))
+        w = self.param("kernel", self.kernel_init, (zb.shape[-1],)).astype(z.dtype)
         return jnp.einsum("bnf,bmf->bnm", w * zb, zb)
 
 

@@ -127,8 +127,21 @@ class Trainer:
             )
             tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
         self.tx = tx
+        # Mixed precision: config "precision": "bfloat16" casts the compute
+        # payload (features, adjacency, edge weights) to bf16 inside the
+        # jitted step — params, optimizer state, and losses stay float32.
+        self.compute_dtype = (
+            jnp.bfloat16
+            if str(config.get("precision", "float32")) == "bfloat16"
+            else None
+        )
         self._train_step = None
         self._eval_step = None
+
+    def _cast(self, batch: Batch) -> Batch:
+        if self.compute_dtype is not None and hasattr(batch, "cast_compute"):
+            return batch.cast_compute(self.compute_dtype)
+        return batch
 
     # ---- state ---------------------------------------------------------
     def init_state(self, sample_batch: Batch, seed: int = 0) -> TrainState:
@@ -164,6 +177,7 @@ class Trainer:
             return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
 
         def step(state: TrainState, batch: Batch):
+            batch = self._cast(batch)
             rng, sub = jax.random.split(state.rng)
             grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats, batch, sub
@@ -185,6 +199,7 @@ class Trainer:
         model = self.model
 
         def step(params, batch_stats, batch: Batch):
+            batch = self._cast(batch)
             variables = {"params": params, "batch_stats": batch_stats}
             out = model.apply(variables, batch, train=False)
             return out.prediction, out.cost_sum, out.metrics
