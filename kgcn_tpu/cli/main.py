@@ -79,6 +79,31 @@ def _make_trainer(config, info):
     return Trainer(model, config, info)
 
 
+def _maybe_resident(config, ds, info, bs, seed=0):
+    """Device-resident training batcher (whole epoch = one jit dispatch)
+    when the dataset supports it and fits the HBM budget; config
+    ``device_resident``: true / false / "auto" (default)."""
+    from kgcn_tpu.runtime import resident
+
+    flag = config.get("device_resident", "auto")
+    if flag in (False, "false", "off"):
+        return None
+    try:
+        if not resident.supports_resident(ds):
+            if flag is True:
+                print("[resident] dataset unsupported; streaming batcher")
+            return None
+        budget = int(config.get("resident_budget_bytes",
+                                resident.DEFAULT_RESIDENT_BUDGET))
+        n = resident._aligned_max_nodes(ds, info)
+        if flag != True and resident.estimate_bytes(ds, n) > budget:
+            return None
+        return resident.ResidentBatcher(ds, info, bs, seed=seed)
+    except Exception as e:  # never let the fast path break training
+        print(f"[resident] disabled ({type(e).__name__}: {e})")
+        return None
+
+
 def _fit_once(config, train_ds, valid_ds, info, fold: Optional[int] = None,
               seed: Optional[int] = None):
     from kgcn_tpu.data import Batcher
@@ -115,7 +140,9 @@ def _fit_once(config, train_ds, valid_ds, info, fold: Optional[int] = None,
         return trainer, state, fit_info, vb
 
     trainer = _make_trainer(config, info)
-    tb = Batcher(train_ds, info, bs, seed=seed or 0)
+    tb = _maybe_resident(config, train_ds, info, bs, seed=seed or 0)
+    if tb is None:
+        tb = Batcher(train_ds, info, bs, seed=seed or 0)
     vb = Batcher(valid_ds, info, bs) if valid_ds is not None else None
     state = trainer.init_state(tb.make_batch(np.arange(min(bs, train_ds.num))),
                                seed=seed if seed is not None else int(config.get("seed", 0)))

@@ -84,6 +84,11 @@ class GraphBatch:
     # per-node degree is bounded.  Padding slots: index 0, weight 0.
     ell_senders: Optional[jnp.ndarray] = None
     ell_weights: Optional[jnp.ndarray] = None
+    # Optional explicit [C, E] edge-validity mask.  The default layout packs
+    # valid edges first so ``edge_mask()`` derives validity from ``n_edge``;
+    # the device-resident layout (kgcn_tpu/runtime/resident.py) interleaves
+    # per-graph padding and supplies the mask explicitly instead.
+    edge_valid: Optional[jnp.ndarray] = None
     n_graph: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=1)
 
@@ -113,7 +118,10 @@ class GraphBatch:
         return jnp.arange(self.total_nodes, dtype=jnp.int32) // self.max_nodes
 
     def edge_mask(self) -> jnp.ndarray:
-        """``[C, E]`` 1.0 for valid edges (valid edges are packed first)."""
+        """``[C, E]`` 1.0 for valid edges (valid edges are packed first,
+        unless an explicit ``edge_valid`` mask is carried)."""
+        if self.edge_valid is not None:
+            return self.edge_valid
         iota = jnp.arange(self.edge_budget, dtype=jnp.int32)[None, :]
         return (iota < self.n_edge[:, None]).astype(jnp.float32)
 

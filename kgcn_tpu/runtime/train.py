@@ -137,6 +137,7 @@ class Trainer:
         )
         self._train_step = None
         self._eval_step = None
+        self._epoch_runner = None
 
     def _cast(self, batch: Batch) -> Batch:
         if self.compute_dtype is not None and hasattr(batch, "cast_compute"):
@@ -218,9 +219,68 @@ class Trainer:
             self._eval_step = self._make_eval_step()
         return self._eval_step
 
+    # ---- whole-epoch scan (device-resident datasets) --------------------
+    def _make_epoch_runner(self):
+        """One jit: lax.scan of the train step over an epoch's schedule,
+        assembling every batch ON DEVICE from the resident dataset — a single
+        dispatch per epoch (see kgcn_tpu/runtime/resident.py)."""
+        from kgcn_tpu.runtime.resident import gather_batch
+
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, batch_stats, batch, rng):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
+
+        def epoch(state: TrainState, dd, sched, valid):
+            def body(st, sv):
+                idxb, vb = sv
+                batch = self._cast(gather_batch(dd, idxb, vb))
+                rng, sub = jax.random.split(st.rng)
+                grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                    st.params, st.batch_stats, batch, sub
+                )
+                updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                new_st = st.replace(
+                    params=optax.apply_updates(st.params, updates),
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                    step=st.step + 1,
+                    rng=rng,
+                )
+                return new_st, (out.cost_sum, out.metrics)
+
+            state, (costs, metrics) = jax.lax.scan(body, state, (sched, valid))
+            return state, costs, metrics
+
+        return jax.jit(epoch, donate_argnums=(0,))
+
+    def _run_epoch_resident(self, state: TrainState, batcher, shuffle, epoch):
+        sched, valid = batcher.epoch_schedule(shuffle=shuffle, epoch=epoch)
+        if self._epoch_runner is None:
+            self._epoch_runner = self._make_epoch_runner()
+        state, costs, metrics = self._epoch_runner(
+            state, batcher.device_data, jnp.asarray(sched), jnp.asarray(valid)
+        )
+        costs, metrics = jax.device_get((costs, metrics))
+        S = len(costs)
+        metric_list = [
+            {k: v[s] for k, v in metrics.items()} for s in range(S)
+        ]
+        n_total = batcher.valid_per_epoch
+        return state, float(np.sum(costs)) / max(n_total, 1), metric_list, n_total
+
     # ---- loops ---------------------------------------------------------
     def run_epoch(self, state: TrainState, batcher: Batcher, shuffle=True,
                   epoch: Optional[int] = None):
+        if hasattr(batcher, "epoch_schedule"):
+            return self._run_epoch_resident(state, batcher, shuffle, epoch)
         # Keep per-step outputs on device and fetch once at epoch end — a
         # per-step float() would synchronise with the device every batch
         # (30 ms/step through a tunnel-attached TPU).
