@@ -123,7 +123,15 @@ def _fit_once(config, train_ds, valid_ds, info, fold: Optional[int] = None,
         n_shards = mesh.shape.get("data", len(jax.devices()))
         model = build_model(config["model.py"], info, config)
         trainer = DPTrainer(model, config, info, mesh=mesh)
-        tb = ShardedBatcher(Batcher(train_ds, info, bs, seed=seed or 0), n_shards)
+        rb = _maybe_resident(config, train_ds, info, bs, seed=seed or 0)
+        if rb is not None:
+            from kgcn_tpu.parallel.dp import ShardedResidentBatcher
+
+            tb = ShardedResidentBatcher(rb, n_shards)
+        else:
+            tb = ShardedBatcher(
+                Batcher(train_ds, info, bs, seed=seed or 0), n_shards
+            )
         vb = (
             ShardedBatcher(Batcher(valid_ds, info, bs), n_shards)
             if valid_ds is not None

@@ -58,8 +58,10 @@ class ShardedBatcher:
         self.last_valid = len(idx)
         return stack_batches(shards)
 
-    def batches(self, shuffle: bool = True):
-        idx = self.b.epoch_indices(shuffle)
+    def batches(self, shuffle: bool = True, epoch=None):
+        # epoch-keyed permutation → deterministic resume, and step-for-step
+        # data-order parity with ShardedResidentBatcher
+        idx = self.b.epoch_indices(shuffle, epoch=epoch)
         for start in range(0, len(idx), self.global_batch):
             yield self.make_batch(idx[start : start + self.global_batch])
 
@@ -67,6 +69,65 @@ class ShardedBatcher:
 def _local(tree):
     """Strip the (now size-1) leading device axis inside shard_map."""
     return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+class ShardedResidentBatcher:
+    """Data-parallel device-resident batcher: the DeviceDataset is replicated,
+    the epoch schedule is a ``[S, D, B_loc]`` index tensor sharded over the
+    ``data`` axis, and DPTrainer scans the whole epoch in ONE jit — the
+    multi-chip version of kgcn_tpu/runtime/resident.py."""
+
+    def __init__(self, rb, num_shards: int):
+        self.rb = rb
+        self.num_shards = int(num_shards)
+        self.ds = rb.ds
+        self.device_data = rb.device_data
+        self.global_batch = rb.batch_size * self.num_shards
+
+    @property
+    def batch_size(self) -> int:
+        return self.global_batch
+
+    @property
+    def valid_per_epoch(self) -> int:
+        return self.ds.num
+
+    def batch_valid_counts(self):
+        n, bs = self.ds.num, self.global_batch
+        return [min(bs, n - s) for s in range(0, n, bs)]
+
+    def epoch_schedule(self, shuffle: bool = True, epoch=None):
+        idx = self.rb.epoch_indices(shuffle, epoch=epoch)
+        D, B = self.num_shards, self.rb.batch_size
+        S = (len(idx) + self.global_batch - 1) // self.global_batch
+        pad = S * D * B - len(idx)
+        sched = np.concatenate([idx, np.zeros(pad, idx.dtype)]).astype(np.int32)
+        valid = (np.arange(S * D * B) < len(idx)).astype(np.float32)
+        return sched.reshape(S, D, B), valid.reshape(S, D, B)
+
+    def make_batch(self, idx: np.ndarray) -> Batch:
+        from kgcn_tpu.runtime.resident import gather_batch
+
+        idx = np.asarray(idx)
+        D, B = self.num_shards, self.rb.batch_size
+        pad = D * B - len(idx)
+        sched = np.concatenate([idx, np.zeros(pad, np.int64)]).astype(np.int32)
+        valid = (np.arange(D * B) < len(idx)).astype(np.float32)
+        self.last_valid = len(idx)
+        return jax.vmap(gather_batch, in_axes=(None, 0, 0))(
+            self.device_data,
+            jnp.asarray(sched.reshape(D, B)),
+            jnp.asarray(valid.reshape(D, B)),
+        )
+
+    def batches(self, shuffle: bool = True, epoch=None):
+        sched, valid = self.epoch_schedule(shuffle, epoch=epoch)
+        from kgcn_tpu.runtime.resident import gather_batch
+
+        for s in range(sched.shape[0]):
+            yield jax.vmap(gather_batch, in_axes=(None, 0, 0))(
+                self.device_data, jnp.asarray(sched[s]), jnp.asarray(valid[s])
+            )
 
 
 class DPTrainer(Trainer):
@@ -130,6 +191,74 @@ class DPTrainer(Trainer):
             return new_state, cost_sum, metrics
 
         return step
+
+    def _make_epoch_runner(self):
+        """Whole-epoch lax.scan INSIDE shard_map: per-device on-device batch
+        assembly from the resident dataset, psum'd gradients per step — one
+        dispatch per epoch across the whole mesh."""
+        from kgcn_tpu.runtime.resident import gather_batch
+
+        model, tx, axis = self.model, self.tx, self.axis
+        cast = self._cast
+
+        def loss_fn(params, batch_stats, batch, rng):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch,
+                train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
+
+        def local_epoch(params, batch_stats, opt_state, step0, rng0,
+                        dd, sched, valid):
+            d = jax.lax.axis_index(axis)
+
+            def body(carry, sv):
+                params, bstats, opt, step, rng = carry
+                idxb, vb = sv  # [1, B] shards inside shard_map
+                batch = cast(gather_batch(dd, idxb[0], vb[0]))
+                rng, sub = jax.random.split(rng)
+                local_rng = jax.random.fold_in(jax.random.fold_in(sub, step), d)
+                grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                    params, bstats, batch, local_rng
+                )
+                grads = jax.lax.pmean(grads, axis)
+                new_stats = jax.lax.pmean(new_stats, axis)
+                updates, new_opt = tx.update(grads, opt, params)
+                new_params = optax.apply_updates(params, updates)
+                return (
+                    (new_params, new_stats, new_opt, step + 1, rng),
+                    (jax.lax.psum(out.cost_sum, axis),
+                     jax.lax.psum(out.metrics, axis)),
+                )
+
+            carry, (costs, metrics) = jax.lax.scan(
+                body, (params, batch_stats, opt_state, step0, rng0),
+                (sched, valid),
+            )
+            return (*carry, costs, metrics)
+
+        sharded = shard_map(
+            local_epoch,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(None, self.axis),
+                      P(None, self.axis)),
+            out_specs=(P(), P(), P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def epoch(state: TrainState, dd, sched, valid):
+            (params, bstats, opt, step, rng, costs, metrics) = sharded(
+                state.params, state.batch_stats, state.opt_state, state.step,
+                state.rng, dd, sched, valid,
+            )
+            new_state = state.replace(
+                params=params, batch_stats=bstats, opt_state=opt,
+                step=step, rng=rng,
+            )
+            return new_state, costs, metrics
+
+        return epoch
 
     def _make_eval_step(self):
         model, axis = self.model, self.axis

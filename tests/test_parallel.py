@@ -109,3 +109,40 @@ def test_dp_fit_learns(tmp_path):
     state, _ = dp.fit(state, tb, vb, log=lambda s: None)
     ev = dp.evaluate(state, vb, "validation_")
     assert float(ev["metrics"]["validation_accuracy"]) >= 0.7
+
+
+def test_dp_resident_epoch_matches_streaming(tmp_path):
+    """ShardedResidentBatcher (whole-epoch scan inside shard_map) is
+    bit-identical to the streaming ShardedBatcher on the same data order."""
+    import jax.numpy as jnp
+
+    from kgcn_tpu.parallel.dp import ShardedResidentBatcher
+    from kgcn_tpu.runtime.resident import ResidentBatcher
+
+    cfg = _cfg()
+    data = make_ring_dataset(num_pairs=60, seed=0)
+    ds, info = build_dataset(data, cfg)
+    mesh = make_mesh({"data": 8})
+    model = build_model("gcn", info, cfg)
+    tr = DPTrainer(model, cfg, info, mesh=mesh)
+    bs_loc = 4
+    sb = ShardedBatcher(Batcher(ds, info, bs_loc, seed=3), 8)
+    srb = ShardedResidentBatcher(ResidentBatcher(ds, info, bs_loc, seed=3), 8)
+    b0 = sb.make_batch(np.arange(32))
+    s1 = tr.init_state(b0, seed=0)
+    s2 = tr.init_state(b0, seed=0)
+    for ep in range(2):
+        s1, c1, _, n1 = tr.run_epoch(s1, sb, shuffle=True, epoch=ep)
+        s2, c2, _, n2 = tr.run_epoch(s2, srb, shuffle=True, epoch=ep)
+        assert n1 == n2
+        assert abs(c1 - c2) < 1e-5
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params))
+    ]
+    assert max(diffs) < 1e-5
+    e1 = tr.evaluate(s1, sb)
+    e2 = tr.evaluate(s1, srb)
+    assert abs(e1["cost"] - e2["cost"]) < 1e-6
+    np.testing.assert_allclose(e1["prediction"], e2["prediction"], atol=1e-5)
