@@ -174,6 +174,38 @@ def bench_train(B=256, N=64, F=32, iters=300, seed=0, precision="float32"):
     return {"train_step_s": dt, "train_graphs_per_s": B / dt}
 
 
+def bench_resident_epoch(B=256, N=64, F=32, n_graphs=2048, epochs=20, seed=0):
+    """End-to-end epoch time with the device-resident path (whole epoch =
+    one jit dispatch; dataset assembled on device from the permutation)."""
+    import jax
+
+    from kgcn_tpu.data import build_dataset
+    from kgcn_tpu.data.synthetic import make_random_graphs
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.config import default_config
+    from kgcn_tpu.runtime.resident import ResidentBatcher
+    from kgcn_tpu.runtime.train import Trainer
+
+    cfg = default_config()
+    cfg.update({"task": "classification", "learning_rate": 1e-3})
+    data = make_random_graphs(n_graphs, N, F, avg_degree=6, seed=seed)
+    ds, info = build_dataset(data, cfg)
+    b = ResidentBatcher(ds, info, B, seed=seed)
+    model = build_model("gcn", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    state = trainer.init_state(b.make_batch(np.arange(B)), seed=0)
+    for ep in range(2):  # compile + warm
+        state, cost, _, _ = trainer.run_epoch(state, b, shuffle=True, epoch=ep)
+    t0 = time.perf_counter()
+    for ep in range(2, 2 + epochs):
+        state, cost, _, _ = trainer.run_epoch(state, b, shuffle=True, epoch=ep)
+    dt = (time.perf_counter() - t0) / epochs
+    return {
+        "resident_epoch_s": dt,
+        "resident_graphs_per_s": n_graphs / dt,
+    }
+
+
 def main():
     # pay the tunnel's one-time device->host channel cost outside the timers
     import jax
@@ -185,6 +217,7 @@ def main():
     train_bf16 = bench_train(precision="bfloat16")
     train["train_step_s_bf16"] = train_bf16["train_step_s"]
     train["train_graphs_per_s_bf16"] = train_bf16["train_graphs_per_s"]
+    train.update(bench_resident_epoch())
     best = max(
         agg["dense_mxu_edges_per_s"],
         agg["dense_mxu_bf16_edges_per_s"],
