@@ -87,7 +87,10 @@ def _gin(info, config):
 def _gat(info, config):
     from kgcn_tpu.models.standard import GATModel
 
-    return GATModel(**_common(info, config))
+    return GATModel(
+        gat_normalize=str(config.get("gat_normalize", "sender")),
+        **_common(info, config),
+    )
 
 
 @register("gcn_multitask")

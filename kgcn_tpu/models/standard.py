@@ -108,7 +108,11 @@ class GATModel(nn.Module):
     channels: int = 1
     label_dim: int = 2
     hidden: int = 50
-    gat_normalize: str = "receiver"
+    # "sender" = the reference's denominator gather (kgcn/layers.py:530-531)
+    # — it leaks degree information, which the shipped ring-classification
+    # task needs (receiver softmax yields identical per-node values on
+    # regular rings); "receiver" = the standard GAT edge softmax.
+    gat_normalize: str = "sender"
 
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> ModelOutput:
