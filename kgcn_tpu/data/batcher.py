@@ -58,6 +58,21 @@ class Batch:
         )
 
 
+def epoch_permutation(n: int, seed: int, epoch: Optional[int] = None,
+                      rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+    """THE permutation law, shared by every batcher (streaming, resident,
+    sharded) so their data orders are interchangeable: with ``epoch`` the
+    order is a pure function of (seed, epoch) — deterministic resume; with
+    only ``rng`` it advances the caller's stateful stream; with neither it
+    is the identity (shuffle off)."""
+    idx = np.arange(n)
+    if epoch is not None:
+        np.random.RandomState((seed * 100003 + epoch) % (2**31)).shuffle(idx)
+    elif rng is not None:
+        rng.shuffle(idx)
+    return idx
+
+
 class Batcher:
     """Yields fixed-shape ``Batch`` pytrees from a host Dataset."""
 
@@ -190,10 +205,6 @@ class Batcher:
             max_nodes=N,
         )
 
-    # max in-degree above which the padded-neighbour-list (ELL) layout stops
-    # paying off and layers fall back to COO segment-sum
-    ELL_MAX_DEGREE = 32
-
     def _prepare_ell(self) -> None:
         """Per-graph ELL (padded per-row neighbour lists) built once; batches
         assemble them by concatenation + node-offset — giving layers the
@@ -201,25 +212,12 @@ class Batcher:
         ds = self.ds
         if ds.adjs is None:
             return
-        from kgcn_tpu.ops.ell import coo_to_ell
+        from kgcn_tpu.ops.ell import coo_to_ell, ell_layout_ok, scan_ell_stats
 
         C = len(ds.adjs[0])
         N = self.max_nodes
-        max_deg = 0
-        total_edges = 0
-        total_nodes = 0
-        for gs in ds.adjs:
-            for (r, c, v) in gs:
-                total_edges += len(r)
-                if len(r):
-                    deg = np.bincount(np.asarray(r), minlength=1).max()
-                    max_deg = max(max_deg, int(deg))
-            total_nodes += N * C
-        if max_deg == 0 or max_deg > self.ELL_MAX_DEGREE:
-            return
-        # padded-slot waste: V·K vs E — beyond ~2x the gather-heavy ELL
-        # layout loses to COO segment-sum (measured on TPU)
-        if total_nodes * max_deg > 2.0 * max(total_edges, 1):
+        max_deg, total_edges = scan_ell_stats(ds.adjs)
+        if not ell_layout_ok(max_deg, len(ds.adjs) * C * N, total_edges):
             return
         K = max_deg
         per_graph = np.zeros((len(ds.adjs), C, N, K), np.int32)
@@ -275,13 +273,10 @@ class Batcher:
         """Epoch order; with ``epoch`` given the permutation is a pure
         function of (seed, epoch) → training resumed from a checkpoint
         replays the exact data order (SURVEY §5: deterministic resume)."""
-        idx = np.arange(self.ds.num)
-        if shuffle:
-            if epoch is not None:
-                np.random.RandomState((self.seed * 100003 + epoch) % (2**31)).shuffle(idx)
-            else:
-                self._rng.shuffle(idx)
-        return idx
+        return epoch_permutation(
+            self.ds.num, self.seed, epoch if shuffle else None,
+            rng=self._rng if shuffle else None,
+        )
 
     def make_batch(self, idx: np.ndarray) -> Batch:
         """Assemble one batch from dataset indices (host-side numpy)."""

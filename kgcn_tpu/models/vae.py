@@ -107,9 +107,12 @@ class GCNVAE(nn.Module):
         )
         z = (mean_t + std_t * eps).reshape(B * N, self.latent_dim)
 
-        # reference's KL variant, verbatim (model_vae.py:176-183)
+        # reference's KL variant, verbatim (model_vae.py:176-183); the KL —
+        # like every loss — accumulates in float32 even under bf16 compute
         e = 1.0e-10
-        kl_el = 1.0 + 2.0 * jnp.log(std_t + e) - mean_t**2 - std_t
+        mean_t32 = mean_t.astype(jnp.float32)
+        std_t32 = std_t.astype(jnp.float32)
+        kl_el = 1.0 + 2.0 * jnp.log(std_t32 + e) - mean_t32**2 - std_t32
         klqp = -0.5 * jnp.mean(jnp.sum(kl_el, axis=(1, 2)))
 
         feat_logits, adj_logits = self.decode(z, batch, train)

@@ -15,6 +15,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Max in-degree above which the padded-neighbour-list layout stops paying
+# off, and the padded-slot waste cap (V·K vs E) — measured on TPU
+# (MEASURED.md); shared by every batch builder so path selection is uniform.
+ELL_MAX_DEGREE = 32
+
+
+def ell_layout_ok(max_degree: int, node_slots: int, total_edges: int) -> bool:
+    """Whether the ELL layout is worth building: bounded degree and padded
+    gather work within 2x of the true edge count."""
+    return (
+        0 < max_degree <= ELL_MAX_DEGREE
+        and node_slots * max_degree <= 2.0 * max(total_edges, 1)
+    )
+
+
+def scan_ell_stats(adjs) -> tuple[int, int]:
+    """(max in-degree, total edge count) over per-graph per-channel COO
+    triples — the inputs to :func:`ell_layout_ok`."""
+    max_deg = 0
+    total_edges = 0
+    for gs in adjs:
+        for (r, _c, _v) in gs:
+            total_edges += len(r)
+            if len(r):
+                max_deg = max(max_deg, int(np.bincount(np.asarray(r)).max()))
+    return max_deg, total_edges
+
+
 def coo_to_ell(senders, receivers, weights, num_nodes: int,
                max_degree: int | None = None):
     """Host-side conversion: packed COO → (idx [V,K], w [V,K]).

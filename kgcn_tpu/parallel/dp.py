@@ -78,11 +78,14 @@ class ShardedResidentBatcher:
     multi-chip version of kgcn_tpu/runtime/resident.py."""
 
     def __init__(self, rb, num_shards: int):
+        from kgcn_tpu.runtime.resident import gather_batch
+
         self.rb = rb
         self.num_shards = int(num_shards)
         self.ds = rb.ds
         self.device_data = rb.device_data
         self.global_batch = rb.batch_size * self.num_shards
+        self._gather = jax.jit(jax.vmap(gather_batch, in_axes=(None, 0, 0)))
 
     @property
     def batch_size(self) -> int:
@@ -106,15 +109,13 @@ class ShardedResidentBatcher:
         return sched.reshape(S, D, B), valid.reshape(S, D, B)
 
     def make_batch(self, idx: np.ndarray) -> Batch:
-        from kgcn_tpu.runtime.resident import gather_batch
-
         idx = np.asarray(idx)
         D, B = self.num_shards, self.rb.batch_size
         pad = D * B - len(idx)
         sched = np.concatenate([idx, np.zeros(pad, np.int64)]).astype(np.int32)
         valid = (np.arange(D * B) < len(idx)).astype(np.float32)
         self.last_valid = len(idx)
-        return jax.vmap(gather_batch, in_axes=(None, 0, 0))(
+        return self._gather(
             self.device_data,
             jnp.asarray(sched.reshape(D, B)),
             jnp.asarray(valid.reshape(D, B)),
@@ -122,10 +123,8 @@ class ShardedResidentBatcher:
 
     def batches(self, shuffle: bool = True, epoch=None):
         sched, valid = self.epoch_schedule(shuffle, epoch=epoch)
-        from kgcn_tpu.runtime.resident import gather_batch
-
         for s in range(sched.shape[0]):
-            yield jax.vmap(gather_batch, in_axes=(None, 0, 0))(
+            yield self._gather(
                 self.device_data, jnp.asarray(sched[s]), jnp.asarray(valid[s])
             )
 

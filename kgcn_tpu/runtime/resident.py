@@ -74,16 +74,36 @@ def supports_resident(ds: Dataset) -> bool:
 
 
 def estimate_bytes(ds: Dataset, max_nodes: int) -> int:
+    """Upper-bound the resident dataset's device footprint, mirroring
+    build_device_dataset's actual padding (aligned edge budget, features
+    padded to the aligned N, possible ELL arrays, labels/ids/sequences)."""
     if ds.adjs is None:
         return 1 << 62
     G = ds.num
     C = len(ds.adjs[0])
-    eg = max(
-        (len(ch[0]) for gs in ds.adjs for ch in gs), default=1
-    )
-    total = G * C * eg * 12 + G * max_nodes * 4  # edges + node mask
+    N = max_nodes
+    eg = max((len(ch[0]) for gs in ds.adjs for ch in gs), default=1)
+    eg = ((max(eg, 1) + 7) // 8) * 8
+    total = G * C * eg * 12 + G * C * 4  # senders+receivers+weights, n_edge
+    total += G * N * 4  # node mask
     if ds.features is not None:
-        total += ds.features.size * 4
+        total += G * N * ds.features.shape[-1] * 4
+    if ds.nodes is not None:
+        total += G * N * 4
+    # potential ELL arrays — the gate may add [G, C, N, K] idx + weights;
+    # bound K by the shared gate limit scaled by the waste cap (2E/(G·C·N))
+    from kgcn_tpu.ops.ell import ELL_MAX_DEGREE
+
+    total_edges = sum(len(ch[0]) for gs in ds.adjs for ch in gs)
+    k_cap = min(ELL_MAX_DEGREE,
+                int(2.0 * max(total_edges, 1) / max(G * C * N, 1)) + 1)
+    total += G * C * N * k_cap * 8
+    for arr in (ds.labels, ds.mask_label, ds.node_label, ds.mask_node_label,
+                ds.sequences, ds.sequences_len):
+        if arr is not None:
+            total += np.asarray(arr).size * 4
+    for v in ds.vector_modal or []:
+        total += np.asarray(v).size * 4
     return total
 
 
@@ -141,20 +161,13 @@ def build_device_dataset(
             row = np.asarray(row, np.int32)
             node_ids[g, : len(row)] = row
 
-    # per-graph ELL (scatter-free path) under the Batcher's same waste gate
+    # per-graph ELL (scatter-free path) under the SAME gate as the streaming
+    # Batcher (shared in kgcn_tpu/ops/ell.py, so path selection never drifts)
     ell_idx = ell_w = None
-    from kgcn_tpu.data.batcher import Batcher
-    from kgcn_tpu.ops.ell import coo_to_ell
+    from kgcn_tpu.ops.ell import coo_to_ell, ell_layout_ok, scan_ell_stats
 
-    max_deg = 0
-    total_edges = int(n_edge.sum())
-    for gs in ds.adjs:
-        for (r, _c, _v) in gs:
-            if len(r):
-                max_deg = max(max_deg, int(np.bincount(np.asarray(r)).max()))
-    if 0 < max_deg <= Batcher.ELL_MAX_DEGREE and (
-        G * C * N * max_deg <= 2.0 * max(total_edges, 1)
-    ):
+    max_deg, total_edges = scan_ell_stats(ds.adjs)
+    if ell_layout_ok(max_deg, G * C * N, total_edges):
         K = max_deg
         ell_idx = np.zeros((G, C, N, K), np.int32)
         ell_w = np.zeros((G, C, N, K), np.float32)
@@ -228,7 +241,7 @@ def gather_batch(dd: DeviceDataset, idx: jnp.ndarray, valid: jnp.ndarray) -> Bat
         edge_weights=w,
         n_edge=jnp.sum(ne * valid[:, None].astype(ne.dtype), axis=0),
         n_node=jnp.sum(
-            dd.node_mask[idx], axis=1
+            dd.node_mask[idx] * valid[:, None], axis=1
         ).astype(jnp.int32),
         node_mask=node_mask,
         nodes=(
@@ -266,7 +279,7 @@ def gather_batch(dd: DeviceDataset, idx: jnp.ndarray, valid: jnp.ndarray) -> Bat
         sequences=take(dd.sequences),
         sequences_len=take(dd.sequences_len),
         vector_modal=(
-            tuple(v[idx] for v in dd.vector_modal)
+            tuple(take(v) for v in dd.vector_modal)
             if dd.vector_modal is not None
             else None
         ),
@@ -288,6 +301,7 @@ class ResidentBatcher:
         self.info = info
         self.batch_size = int(batch_size)
         self.seed = int(seed)
+        self._rng = np.random.RandomState(self.seed)
         self.device_data = build_device_dataset(ds, info, max_nodes=max_nodes)
         self.max_nodes = self.device_data.max_nodes
         self._gather = jax.jit(gather_batch, static_argnums=())
@@ -307,13 +321,14 @@ class ResidentBatcher:
 
     def epoch_indices(self, shuffle: bool = True,
                       epoch: Optional[int] = None) -> np.ndarray:
-        """Identical permutation law to Batcher.epoch_indices — resident and
-        streaming paths see the same data order."""
-        idx = np.arange(self.ds.num)
-        if shuffle:
-            seed = (self.seed * 100003 + (epoch or 0)) % (2**31)
-            np.random.RandomState(seed).shuffle(idx)
-        return idx
+        """Identical permutation law to Batcher.epoch_indices (shared
+        implementation) — resident and streaming paths see the same order."""
+        from kgcn_tpu.data.batcher import epoch_permutation
+
+        return epoch_permutation(
+            self.ds.num, self.seed, epoch if shuffle else None,
+            rng=self._rng if shuffle else None,
+        )
 
     def epoch_schedule(self, shuffle: bool = True,
                        epoch: Optional[int] = None):

@@ -126,3 +126,19 @@ def test_supports_resident_gates():
     assert supports_resident(ds)
     ds.label_list = [(0, 1, 2)]
     assert not supports_resident(ds)
+
+
+def test_resident_epoch_none_reshuffles():
+    """shuffle=True without an epoch key must advance a stateful stream
+    (matching Batcher), not return the same permutation every call."""
+    cfg, ds, info, _ = _setup()
+    b = ResidentBatcher(ds, info, 25, seed=0)
+    p1 = b.epoch_indices(shuffle=True)
+    p2 = b.epoch_indices(shuffle=True)
+    assert not np.array_equal(p1, p2)
+    # and the epoch-keyed law matches the streaming Batcher exactly
+    sb = Batcher(ds, info, 25, seed=7)
+    rb = ResidentBatcher(ds, info, 25, seed=7)
+    np.testing.assert_array_equal(
+        sb.epoch_indices(True, epoch=4), rb.epoch_indices(True, epoch=4)
+    )
