@@ -58,7 +58,12 @@ def cmd_train(config, fold: int = 0):
     model = _model(config, info)
     trainer = Trainer(model, config, info)
     bs = int(config["batch_size"])
-    tb = Batcher(train_ds, info, bs, seed=int(config.get("seed", 0)))
+    from kgcn_tpu.cli.main import _maybe_resident
+
+    tb = _maybe_resident(config, train_ds, info, bs,
+                         seed=int(config.get("seed", 0)))
+    if tb is None:
+        tb = Batcher(train_ds, info, bs, seed=int(config.get("seed", 0)))
     vb = Batcher(valid_ds, info, bs)
     state = trainer.init_state(tb.make_batch(np.arange(min(bs, train_ds.num))),
                                seed=int(config.get("seed", 0)))
