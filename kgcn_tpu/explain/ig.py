@@ -68,6 +68,54 @@ def make_target_score(mode, label_index: Optional[int] = None):
     return score
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("method", "target", "label_index", "noisy"))
+def _ig_core(apply_fn, variables, batch, scales, rngs, *, method, target,
+             label_index, noisy):
+    """The entire IG computation — scaling scan, gradient accumulation, and
+    completeness oracle — as ONE jitted program.  Compiled once per
+    (shape, method, target); the reference pays 100 sess.run round trips
+    per compound for the same quantity (kgcn/visualization.py:201-212)."""
+    score_fn = make_target_score(target, label_index)
+
+    def forward(nodes, edge_weights, b: Batch):
+        g = b.graph.replace(nodes=nodes, edge_weights=edge_weights)
+        out = apply_fn(variables, b.replace(graph=g), train=False)
+        return score_fn(out.prediction, b.labels)
+
+    grad_fn = jax.grad(forward, argnums=(0, 1))
+    nodes0 = batch.graph.nodes
+    ew0 = batch.graph.edge_weights
+
+    def body(carry, inp):
+        scale, key = inp
+        nb = _scale_batch(batch, scale, key if noisy else None)
+        gn, ge = grad_fn(nb.graph.nodes, nb.graph.edge_weights, batch)
+        return (carry[0] + gn, carry[1] + ge), None
+
+    init = (jnp.zeros_like(nodes0), jnp.zeros_like(ew0))
+    (gsum_n, gsum_e), _ = jax.lax.scan(body, init, (scales, rngs))
+    k = scales.shape[0]
+    if method in ("ig", "grad_prod", "smooth_ig"):
+        ig_nodes = (gsum_n / k) * nodes0
+        ig_edges = (gsum_e / k) * ew0
+    else:  # pure gradients
+        ig_nodes = gsum_n / k
+        ig_edges = gsum_e / k
+
+    # completeness: F(1) - F(0)  (kgcn/visualization.py:279-287)
+    def f_at(scale):
+        nb = _scale_batch(batch, scale)
+        out = apply_fn(variables, nb, train=False)
+        return score_fn(out.prediction, batch.labels)
+
+    check_score = f_at(1.0) - f_at(0.0)
+    sum_of_ig = jnp.sum(ig_nodes) + jnp.sum(ig_edges)
+    return ig_nodes, ig_edges, check_score, sum_of_ig
+
+
 def integrated_gradients(
     apply_fn,
     variables,
@@ -85,17 +133,8 @@ def integrated_gradients(
     ``adjs_IG`` [C, E] (per-edge attributions), and ``check`` carries the
     completeness oracle (``check_score`` = F(1) − F(0), ``sum_of_IG``).
     """
-    score_fn = make_target_score(target, label_index)
-
-    def forward(nodes, edge_weights, b: Batch):
-        g = b.graph.replace(nodes=nodes, edge_weights=edge_weights)
-        out = apply_fn(variables, b.replace(graph=g), train=False)
-        return score_fn(out.prediction, b.labels)
-
-    grad_fn = jax.grad(forward, argnums=(0, 1))
-    nodes0 = batch.graph.nodes
-    ew0 = batch.graph.edge_weights
-
+    if not isinstance(apply_fn, jax.tree_util.Partial):
+        apply_fn = jax.tree_util.Partial(apply_fn)  # jit-traceable callable
     if method in ("ig", "smooth_ig"):
         scales = (jnp.arange(steps, dtype=jnp.float32) + 1.0) / steps
     elif method in ("grad", "grad_prod", "smooth_grad"):
@@ -111,33 +150,13 @@ def integrated_gradients(
         else jnp.zeros((len(scales), 2), jnp.uint32)
     )
 
-    def body(carry, inp):
-        scale, key = inp
-        nb = _scale_batch(batch, scale, key if noisy else None)
-        gn, ge = grad_fn(nb.graph.nodes, nb.graph.edge_weights, batch)
-        return (carry[0] + gn, carry[1] + ge), None
-
-    init = (jnp.zeros_like(nodes0), jnp.zeros_like(ew0))
-    (gsum_n, gsum_e), _ = jax.lax.scan(body, init, (scales, rngs))
-    k = float(len(scales))
-    if method in ("ig", "grad_prod", "smooth_ig"):
-        ig_nodes = (gsum_n / k) * nodes0
-        ig_edges = (gsum_e / k) * ew0
-    else:  # pure gradients
-        ig_nodes = gsum_n / k
-        ig_edges = gsum_e / k
-
-    # completeness: F(1) - F(0)  (kgcn/visualization.py:279-287)
-    def f_at(scale):
-        nb = _scale_batch(batch, scale)
-        out = apply_fn(variables, nb, train=False)
-        return score_fn(out.prediction, batch.labels)
-
-    check_score = float(f_at(1.0) - f_at(0.0))
-    sum_of_ig = float(jnp.sum(ig_nodes) + jnp.sum(ig_edges))
+    ig_nodes, ig_edges, check_score, sum_of_ig = _ig_core(
+        apply_fn, variables, batch, scales, rngs,
+        method=method, target=target, label_index=label_index, noisy=noisy,
+    )
     return (
         {"features_IG": np.asarray(ig_nodes), "adjs_IG": np.asarray(ig_edges)},
-        {"check_score": check_score, "sum_of_IG": sum_of_ig},
+        {"check_score": float(check_score), "sum_of_IG": float(sum_of_ig)},
     )
 
 
