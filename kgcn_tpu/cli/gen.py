@@ -121,10 +121,9 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
-    if args.cpu:
-        import jax
+    from kgcn_tpu.runtime.jax_setup import setup_jax
 
-        jax.config.update("jax_platforms", "cpu")
+    setup_jax(cpu=args.cpu)
     from kgcn_tpu.runtime.config import load_config
 
     config = load_config(args.config)

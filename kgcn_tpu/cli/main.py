@@ -499,10 +499,9 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    if args.cpu:
-        import jax
+    from kgcn_tpu.runtime.jax_setup import setup_jax
 
-        jax.config.update("jax_platforms", "cpu")
+    setup_jax(cpu=args.cpu)
     from kgcn_tpu.runtime.config import load_config, save_config
 
     overrides = {

@@ -127,10 +127,9 @@ def main(argv=None):
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
-    if args.cpu:
-        import jax
+    from kgcn_tpu.runtime.jax_setup import setup_jax
 
-        jax.config.update("jax_platforms", "cpu")
+    setup_jax(cpu=args.cpu)
     from kgcn_tpu.runtime.config import load_config
 
     config = load_config(args.config)

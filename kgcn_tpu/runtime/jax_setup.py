@@ -1,0 +1,34 @@
+"""Process-level JAX setup shared by every CLI entry point.
+
+Persistent compilation cache: each CLI invocation is a fresh process (the
+KNIME nodes shell out per run, HPO spawns a process per trial), so without
+a disk cache every run pays the full XLA compile (20-40 s on a tunnel-
+attached TPU).  Enabling `jax_compilation_cache_dir` makes repeat
+invocations hit the cache.  Config key `compile_cache_dir` overrides the
+location; set it to "" / false to disable.
+"""
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(config: dict | None = None, *, cpu: bool = False) -> None:
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cache = (config or {}).get(
+        "compile_cache_dir",
+        os.environ.get(
+            "KGCN_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "kgcn_tpu", "xla"),
+        ),
+    )
+    if cache:
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache))
+            # cache even fast compiles — CLI processes are short-lived
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass  # cache is an optimisation; never fail a run over it
