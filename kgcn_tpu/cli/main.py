@@ -431,7 +431,9 @@ def cmd_infer(config) -> Dict[str, Any]:
         return cmd_infer_kg(config, ds, info)
     trainer = _make_trainer(config, info)
     bs = int(config["batch_size"])
-    b = Batcher(ds, info, bs)
+    b = _maybe_resident(config, ds, info, bs)
+    if b is None:
+        b = Batcher(ds, info, bs)
     state = trainer.init_state(b.make_batch(np.arange(min(bs, ds.num))), seed=0)
     load_path = config.get("load_model") or os.path.join(
         config.get("save_model_path", "model"), "model.best.ckpt"

@@ -138,6 +138,7 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._epoch_runner = None
+        self._eval_runner = None
 
     def _cast(self, batch: Batch) -> Batch:
         if self.compute_dtype is not None and hasattr(batch, "cast_compute"):
@@ -276,6 +277,28 @@ class Trainer:
         n_total = batcher.valid_per_epoch
         return state, float(np.sum(costs)) / max(n_total, 1), metric_list, n_total
 
+    def _make_eval_runner(self):
+        """Whole-evaluation scan over the resident dataset: batches gathered
+        on device, eval steps scanned — ONE dispatch for the full pass."""
+        from kgcn_tpu.runtime.resident import gather_batch
+
+        model = self.model
+
+        def run(params, batch_stats, dd, sched, valid):
+            def body(_, sv):
+                idxb, vb = sv
+                batch = self._cast(gather_batch(dd, idxb, vb))
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, batch,
+                    train=False,
+                )
+                return None, (out.prediction, out.cost_sum, out.metrics)
+
+            _, outs = jax.lax.scan(body, None, (sched, valid))
+            return outs
+
+        return jax.jit(run)
+
     # ---- loops ---------------------------------------------------------
     def run_epoch(self, state: TrainState, batcher: Batcher, shuffle=True,
                   epoch: Optional[int] = None):
@@ -303,7 +326,45 @@ class Trainer:
         metric_list = jax.device_get(metric_list)
         return state, float(np.sum(costs)) / max(n_total, 1), metric_list, n_total
 
+    def _evaluate_resident(self, state: TrainState, batcher, key_prefix=""):
+        if self._eval_runner is None:
+            self._eval_runner = self._make_eval_runner()
+        sched, valid = batcher.epoch_schedule(shuffle=False)
+        preds, costs, metrics = self._eval_runner(
+            state.params, state.batch_stats, batcher.device_data,
+            jnp.asarray(sched), jnp.asarray(valid),
+        )
+        preds, costs, metrics = jax.device_get((preds, costs, metrics))
+        counts = batcher.batch_valid_counts()
+        n_total = sum(counts)
+        S = len(costs)
+        metric_list = [{k: v[s] for k, v in metrics.items()} for s in range(S)]
+        # trim batch padding rows and flatten the step axis
+        # (reference: kgcn/core.py:409-414)
+        if isinstance(preds, dict):
+            prediction = {
+                k: np.concatenate([v[s][: counts[s]] for s in range(S)])
+                for k, v in preds.items()
+            }
+        else:
+            prediction = np.concatenate(
+                [preds[s][: counts[s]] for s in range(S)]
+            )
+        agg = aggregate_metrics(
+            metric_list, n_total, self.config.get("task", ""), key_prefix
+        )
+        return {
+            "cost": float(np.sum(costs)) / max(n_total, 1),
+            "metrics": agg or {},
+            "prediction": prediction,
+            "num": n_total,
+        }
+
     def evaluate(self, state: TrainState, batcher: Batcher, key_prefix=""):
+        # resident datasets: the entire pass is one jitted scan
+        inner = getattr(batcher, "_batcher", batcher)  # unwrap CachedBatches
+        if hasattr(inner, "epoch_schedule") and type(self) is Trainer:
+            return self._evaluate_resident(state, inner, key_prefix)
         # device outputs are collected and fetched ONCE at the end (one sync
         # instead of one per batch — significant on tunnel-attached TPUs)
         cost_total, n_total = 0.0, 0
