@@ -151,7 +151,11 @@ def _fit_once(config, train_ds, valid_ds, info, fold: Optional[int] = None,
     tb = _maybe_resident(config, train_ds, info, bs, seed=seed or 0)
     if tb is None:
         tb = Batcher(train_ds, info, bs, seed=seed or 0)
-    vb = Batcher(valid_ds, info, bs) if valid_ds is not None else None
+    vb = None
+    if valid_ds is not None and valid_ds.num > 0:
+        vb = _maybe_resident(config, valid_ds, info, bs)
+        if vb is None:
+            vb = Batcher(valid_ds, info, bs)
     state = trainer.init_state(tb.make_batch(np.arange(min(bs, train_ds.num))),
                                seed=seed if seed is not None else int(config.get("seed", 0)))
     if config.get("retrain"):
