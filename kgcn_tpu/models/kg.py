@@ -165,11 +165,14 @@ class KGBatcher:
     def batch_valid_counts(self):
         return [1] * self.valid_per_epoch
 
-    def batches(self, shuffle: bool = True):
+    def _epoch_label_lists(self, shuffle: bool) -> np.ndarray:
+        """[S, L, 6] label slices for one epoch (wrap-padded last slice,
+        fresh negatives) — the same stream ``batches`` yields."""
         order = np.arange(self.num_labels)
         if shuffle:
             self._rng.shuffle(order)
         L = self.label_batch_size
+        slices = []
         for start in range(0, self.num_labels, L):
             idx = order[start : start + L]
             if len(idx) < L:  # pad to static shape by wrapping
@@ -177,7 +180,23 @@ class KGBatcher:
             ll = self.label_list[idx]
             if not self.test:
                 ll = sample_negatives(ll, self.all_nodes, self._rng, self.pair_mode)
+            slices.append(ll)
+        return np.stack(slices)
+
+    def batches(self, shuffle: bool = True):
+        for ll in self._epoch_label_lists(shuffle):
             self.last_valid = 1
-            yield self.graph_batch.replace(
-                label_list=jnp.asarray(ll[None])
-            )
+            yield self.graph_batch.replace(label_list=jnp.asarray(ll[None]))
+
+    # --- whole-epoch scan protocol (see Trainer._run_epoch_scanned) -------
+    def epoch_scan_inputs(self, shuffle: bool = True, epoch=None):
+        """(constant batch, per-step xs): the graph is static across steps;
+        only the [S, 1, L, 6] label slices vary — a whole KG epoch becomes
+        one jit dispatch instead of S (reference: label_batch_size inner
+        loop, kgcn/core.py:219-222)."""
+        lls = self._epoch_label_lists(shuffle)
+        return self.graph_batch, jnp.asarray(lls[:, None])
+
+    @staticmethod
+    def make_scan_batch(const_batch: Batch, x) -> Batch:
+        return const_batch.replace(label_list=x)

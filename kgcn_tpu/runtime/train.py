@@ -139,6 +139,7 @@ class Trainer:
         self._eval_step = None
         self._epoch_runner = None
         self._eval_runner = None
+        self._scan_runner = None
 
     def _cast(self, batch: Batch) -> Batch:
         if self.compute_dtype is not None and hasattr(batch, "cast_compute"):
@@ -277,6 +278,56 @@ class Trainer:
         n_total = batcher.valid_per_epoch
         return state, float(np.sum(costs)) / max(n_total, 1), metric_list, n_total
 
+    def _make_scan_runner(self, make_batch_fn):
+        """Generic whole-epoch scan for batchers exposing the
+        (constant batch, per-step xs) protocol (``epoch_scan_inputs`` /
+        ``make_scan_batch``) — e.g. KG whole-graph training where only the
+        label slice varies per step."""
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, batch_stats, batch, rng):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
+
+        def epoch(state: TrainState, const_batch, xs):
+            def body(st, x):
+                batch = self._cast(make_batch_fn(const_batch, x))
+                rng, sub = jax.random.split(st.rng)
+                grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                    st.params, st.batch_stats, batch, sub
+                )
+                updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                new_st = st.replace(
+                    params=optax.apply_updates(st.params, updates),
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                    step=st.step + 1,
+                    rng=rng,
+                )
+                return new_st, (out.cost_sum, out.metrics)
+
+            state, (costs, metrics) = jax.lax.scan(body, state, xs)
+            return state, costs, metrics
+
+        return jax.jit(epoch, donate_argnums=(0,))
+
+    def _run_epoch_scanned(self, state: TrainState, batcher, shuffle, epoch):
+        const_batch, xs = batcher.epoch_scan_inputs(shuffle=shuffle, epoch=epoch)
+        if self._scan_runner is None:
+            self._scan_runner = self._make_scan_runner(type(batcher).make_scan_batch)
+        state, costs, metrics = self._scan_runner(state, const_batch, xs)
+        costs, metrics = jax.device_get((costs, metrics))
+        S = len(costs)
+        metric_list = [{k: v[s] for k, v in metrics.items()} for s in range(S)]
+        n_total = getattr(batcher, "valid_per_epoch", S)
+        return state, float(np.sum(costs)) / max(n_total, 1), metric_list, n_total
+
     def _make_eval_runner(self):
         """Whole-evaluation scan over the resident dataset: batches gathered
         on device, eval steps scanned — ONE dispatch for the full pass."""
@@ -304,6 +355,8 @@ class Trainer:
                   epoch: Optional[int] = None):
         if hasattr(batcher, "epoch_schedule"):
             return self._run_epoch_resident(state, batcher, shuffle, epoch)
+        if hasattr(batcher, "epoch_scan_inputs"):
+            return self._run_epoch_scanned(state, batcher, shuffle, epoch)
         # Keep per-step outputs on device and fetch once at epoch end — a
         # per-step float() would synchronise with the device every batch
         # (30 ms/step through a tunnel-attached TPU).
