@@ -29,8 +29,25 @@ def _setup(config):
         dropout_rate=float(config.get("dropout_rate", 0.2)),
     )
     trainer = Trainer(model, config, info)
-    pb = PairBatcher(ds, info, pairs, int(config["batch_size"]),
-                     seed=int(config.get("seed", 0)))
+    pb = None
+    if config.get("device_resident", "auto") not in (False, "false", "off"):
+        try:
+            from kgcn_tpu.models.pair import ResidentPairBatcher
+            from kgcn_tpu.runtime import resident
+
+            if resident.supports_resident(ds) and resident.estimate_bytes(
+                ds, resident._aligned_max_nodes(ds, info)
+            ) <= int(config.get("resident_budget_bytes",
+                                resident.DEFAULT_RESIDENT_BUDGET)):
+                pb = ResidentPairBatcher(
+                    ds, info, pairs, int(config["batch_size"]),
+                    seed=int(config.get("seed", 0)),
+                )
+        except Exception as e:
+            print(f"[resident] disabled ({type(e).__name__}: {e})")
+    if pb is None:
+        pb = PairBatcher(ds, info, pairs, int(config["batch_size"]),
+                         seed=int(config.get("seed", 0)))
     return ds, info, trainer, pb
 
 

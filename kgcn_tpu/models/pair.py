@@ -115,3 +115,88 @@ class PairBatcher:
             self._rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             yield self.make_batch(order[start : start + self.batch_size])
+
+
+class ResidentPairBatcher:
+    """Device-resident pair batcher: the dataset lives in HBM once; each
+    scanned step gathers BOTH towers' graphs on device — one jit dispatch
+    per epoch (Trainer's generic scan protocol)."""
+
+    def __init__(self, ds, info, pairs, batch_size: int, seed: int = 0):
+        import jax
+
+        from kgcn_tpu.runtime.resident import build_device_dataset, gather_batch
+
+        self.device_data = build_device_dataset(ds, info)
+        self.pairs = np.asarray(pairs)
+        self.batch_size = int(batch_size)
+        self.ds = ds
+        self.seed = int(seed)
+        self._rng = np.random.RandomState(seed)
+        self._gather = jax.jit(gather_batch)
+
+    @property
+    def valid_per_epoch(self) -> int:
+        return len(self.pairs)
+
+    def batch_valid_counts(self):
+        n, bs = len(self.pairs), self.batch_size
+        return [min(bs, n - s) for s in range(0, n, bs)]
+
+    def _schedule(self, shuffle: bool):
+        from kgcn_tpu.data.batcher import epoch_permutation
+
+        order = epoch_permutation(
+            len(self.pairs), self.seed, None, rng=self._rng if shuffle else None
+        )
+        B = self.batch_size
+        S = (len(order) + B - 1) // B
+        pad = S * B - len(order)
+        sched = np.concatenate([order, np.zeros(pad, order.dtype)])
+        valid = (np.arange(S * B) < len(order)).astype(np.float32)
+        p = self.pairs[sched]  # [S*B, 2]
+        return (
+            p[:, 0].astype(np.int32).reshape(S, B),
+            p[:, 1].astype(np.int32).reshape(S, B),
+            valid.reshape(S, B),
+        )
+
+    def epoch_scan_inputs(self, shuffle: bool = True, epoch=None):
+        import jax.numpy as jnp
+
+        ia, ib, v = self._schedule(shuffle)
+        return self.device_data, (jnp.asarray(ia), jnp.asarray(ib), jnp.asarray(v))
+
+    @staticmethod
+    def make_scan_batch(dd, x) -> PairBatch:
+        from kgcn_tpu.runtime.resident import gather_batch
+
+        ia, ib, v = x
+        return PairBatch(a=gather_batch(dd, ia, v), b=gather_batch(dd, ib, v))
+
+    def make_batch(self, pair_idx) -> PairBatch:
+        import jax.numpy as jnp
+
+        p = self.pairs[np.asarray(pair_idx)]
+        B = self.batch_size
+        pad = B - len(p)
+        ia = np.concatenate([p[:, 0], np.zeros(pad, np.int64)]).astype(np.int32)
+        ib = np.concatenate([p[:, 1], np.zeros(pad, np.int64)]).astype(np.int32)
+        v = (np.arange(B) < len(p)).astype(np.float32)
+        self.last_valid = len(p)
+        return PairBatch(
+            a=self._gather(self.device_data, jnp.asarray(ia), jnp.asarray(v)),
+            b=self._gather(self.device_data, jnp.asarray(ib), jnp.asarray(v)),
+        )
+
+    def batches(self, shuffle: bool = True):
+        ia, ib, v = self._schedule(shuffle)
+        import jax.numpy as jnp
+
+        for s in range(ia.shape[0]):
+            yield PairBatch(
+                a=self._gather(self.device_data, jnp.asarray(ia[s]),
+                               jnp.asarray(v[s])),
+                b=self._gather(self.device_data, jnp.asarray(ib[s]),
+                               jnp.asarray(v[s])),
+            )
