@@ -41,7 +41,22 @@ def cmd_train(config):
         seed=int(config.get("seed", 0)),
     )
     bs = int(config["batch_size"])
-    tb = Batcher(train_ds, info, bs, epsilon_dim=model.latent_dim, seed=0)
+    tb = None
+    if config.get("device_resident", "auto") not in (False, "false", "off"):
+        try:
+            from kgcn_tpu.runtime import resident
+
+            if resident.supports_resident(train_ds) and resident.estimate_bytes(
+                train_ds, resident._aligned_max_nodes(train_ds, info)
+            ) <= int(config.get("resident_budget_bytes",
+                                resident.DEFAULT_RESIDENT_BUDGET)):
+                tb = resident.ResidentVAEBatcher(
+                    train_ds, info, bs, model.latent_dim, seed=0
+                )
+        except Exception as e:
+            print(f"[resident] disabled ({type(e).__name__}: {e})")
+    if tb is None:
+        tb = Batcher(train_ds, info, bs, epsilon_dim=model.latent_dim, seed=0)
     vb = (
         Batcher(valid_ds, info, bs, epsilon_dim=model.latent_dim, seed=1)
         if valid_ds.num > 0
