@@ -42,19 +42,15 @@ def cmd_train(config):
     )
     bs = int(config["batch_size"])
     tb = None
-    if config.get("device_resident", "auto") not in (False, "false", "off"):
-        try:
-            from kgcn_tpu.runtime import resident
+    try:
+        from kgcn_tpu.runtime import resident
 
-            if resident.supports_resident(train_ds) and resident.estimate_bytes(
-                train_ds, resident._aligned_max_nodes(train_ds, info)
-            ) <= int(config.get("resident_budget_bytes",
-                                resident.DEFAULT_RESIDENT_BUDGET)):
-                tb = resident.ResidentVAEBatcher(
-                    train_ds, info, bs, model.latent_dim, seed=0
-                )
-        except Exception as e:
-            print(f"[resident] disabled ({type(e).__name__}: {e})")
+        if resident.resident_enabled(config, train_ds, info):
+            tb = resident.ResidentVAEBatcher(
+                train_ds, info, bs, model.latent_dim, seed=0
+            )
+    except Exception as e:
+        print(f"[resident] disabled ({type(e).__name__}: {e})")
     if tb is None:
         tb = Batcher(train_ds, info, bs, epsilon_dim=model.latent_dim, seed=0)
     vb = (
@@ -136,12 +132,12 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
-    from kgcn_tpu.runtime.jax_setup import setup_jax
-
-    setup_jax(cpu=args.cpu)
     from kgcn_tpu.runtime.config import load_config
 
     config = load_config(args.config)
+    from kgcn_tpu.runtime.jax_setup import setup_jax
+
+    setup_jax(config, cpu=args.cpu)
     {"train": cmd_train, "reconstruct": cmd_reconstruct,
      "generate": cmd_generate}[args.mode](config)
 

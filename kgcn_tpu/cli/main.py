@@ -81,22 +81,12 @@ def _make_trainer(config, info):
 
 def _maybe_resident(config, ds, info, bs, seed=0):
     """Device-resident training batcher (whole epoch = one jit dispatch)
-    when the dataset supports it and fits the HBM budget; config
-    ``device_resident``: true / false / "auto" (default)."""
+    when the shared gate admits the dataset (kgcn_tpu/runtime/resident.py:
+    ``resident_enabled``)."""
     from kgcn_tpu.runtime import resident
 
-    flag = config.get("device_resident", "auto")
-    if flag in (False, "false", "off"):
-        return None
     try:
-        if not resident.supports_resident(ds):
-            if flag is True:
-                print("[resident] dataset unsupported; streaming batcher")
-            return None
-        budget = int(config.get("resident_budget_bytes",
-                                resident.DEFAULT_RESIDENT_BUDGET))
-        n = resident._aligned_max_nodes(ds, info)
-        if flag != True and resident.estimate_bytes(ds, n) > budget:
+        if not resident.resident_enabled(config, ds, info):
             return None
         return resident.ResidentBatcher(ds, info, bs, seed=seed)
     except Exception as e:  # never let the fast path break training
@@ -184,7 +174,7 @@ def cmd_train_kg(config, ds, info) -> Dict[str, Any]:
         pair_mode=config.get("preference_pair_mode", "both"),
         seed=int(config.get("seed", 0)),
     )
-    state = trainer.init_state(next(kb.batches()), seed=int(config.get("seed", 0)))
+    state = trainer.init_state(kb.init_batch(), seed=int(config.get("seed", 0)))
     t0 = time.time()
     best = {"acc": 0.0}
     for epoch in range(int(config.get("epoch", 50))):
@@ -505,9 +495,6 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    from kgcn_tpu.runtime.jax_setup import setup_jax
-
-    setup_jax(cpu=args.cpu)
     from kgcn_tpu.runtime.config import load_config, save_config
 
     overrides = {
@@ -523,6 +510,9 @@ def main(argv=None):
     config = load_config(args.config, overrides)
     if args.save_config:
         save_config(config, args.save_config)
+    from kgcn_tpu.runtime.jax_setup import setup_jax
+
+    setup_jax(config, cpu=args.cpu)
 
     import jax
 

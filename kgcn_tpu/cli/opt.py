@@ -42,14 +42,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
-    from kgcn_tpu.runtime.jax_setup import setup_jax
-
-    setup_jax(cpu=args.cpu)
-
     from kgcn_tpu.runtime.config import load_config
     from kgcn_tpu.tools.hpo import Domain, optimize
 
     base = load_config(args.config)
+    from kgcn_tpu.runtime.jax_setup import setup_jax
+
+    setup_jax(base, cpu=args.cpu)
     domain = Domain.from_json(args.domain)
     best_params, best_value, history = optimize(
         lambda params: run_trial(base, params),

@@ -30,21 +30,19 @@ def _setup(config):
     )
     trainer = Trainer(model, config, info)
     pb = None
-    if config.get("device_resident", "auto") not in (False, "false", "off"):
-        try:
-            from kgcn_tpu.models.pair import ResidentPairBatcher
-            from kgcn_tpu.runtime import resident
+    try:
+        from kgcn_tpu.models.pair import ResidentPairBatcher
+        from kgcn_tpu.runtime import resident
 
-            if resident.supports_resident(ds) and resident.estimate_bytes(
-                ds, resident._aligned_max_nodes(ds, info)
-            ) <= int(config.get("resident_budget_bytes",
-                                resident.DEFAULT_RESIDENT_BUDGET)):
-                pb = ResidentPairBatcher(
-                    ds, info, pairs, int(config["batch_size"]),
-                    seed=int(config.get("seed", 0)),
-                )
-        except Exception as e:
-            print(f"[resident] disabled ({type(e).__name__}: {e})")
+        # the pair engine consumes graph_index_list itself, so it does not
+        # disqualify the dataset here
+        if resident.resident_enabled(config, ds, info, allow_index_list=True):
+            pb = ResidentPairBatcher(
+                ds, info, pairs, int(config["batch_size"]),
+                seed=int(config.get("seed", 0)),
+            )
+    except Exception as e:
+        print(f"[resident] disabled ({type(e).__name__}: {e})")
     if pb is None:
         pb = PairBatcher(ds, info, pairs, int(config["batch_size"]),
                          seed=int(config.get("seed", 0)))
@@ -103,12 +101,12 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
-    from kgcn_tpu.runtime.jax_setup import setup_jax
-
-    setup_jax(cpu=args.cpu)
     from kgcn_tpu.runtime.config import load_config
 
     config = load_config(args.config)
+    from kgcn_tpu.runtime.jax_setup import setup_jax
+
+    setup_jax(config, cpu=args.cpu)
     (cmd_train if args.mode == "train" else cmd_infer)(config)
 
 

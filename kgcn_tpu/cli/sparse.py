@@ -127,12 +127,12 @@ def main(argv=None):
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
-    from kgcn_tpu.runtime.jax_setup import setup_jax
-
-    setup_jax(cpu=args.cpu)
     from kgcn_tpu.runtime.config import load_config
 
     config = load_config(args.config)
+    from kgcn_tpu.runtime.jax_setup import setup_jax
+
+    setup_jax(config, cpu=args.cpu)
     if "tasks_file" in config and os.path.exists(config["tasks_file"]):
         with open(config["tasks_file"]) as f:
             config["task_names"] = [line.strip() for line in f if line.strip()]

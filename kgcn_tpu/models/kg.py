@@ -183,6 +183,17 @@ class KGBatcher:
             slices.append(ll)
         return np.stack(slices)
 
+    def init_batch(self) -> Batch:
+        """A shape-complete batch for ``Trainer.init_state`` — the first
+        label slice with positives echoed as negatives; consumes no RNG and
+        samples no negatives (unlike iterating ``batches``, which now
+        materialises the whole epoch eagerly)."""
+        L = self.label_batch_size
+        idx = np.arange(L) % self.num_labels
+        return self.graph_batch.replace(
+            label_list=jnp.asarray(self.label_list[idx][None])
+        )
+
     def batches(self, shuffle: bool = True):
         for ll in self._epoch_label_lists(shuffle):
             self.last_valid = 1

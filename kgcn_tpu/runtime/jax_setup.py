@@ -13,6 +13,8 @@ import os
 
 
 def setup_jax(config: dict | None = None, *, cpu: bool = False) -> None:
+    import platform
+
     import jax
 
     if cpu:
@@ -26,8 +28,14 @@ def setup_jax(config: dict | None = None, *, cpu: bool = False) -> None:
     )
     if cache:
         try:
+            # segregate by jax version + host arch so a shared/NFS HOME never
+            # serves AOT code compiled for a different machine (observed:
+            # XLA "target machine feature ... not supported" → SIGILL risk)
+            cache = os.path.join(
+                str(cache), f"{jax.__version__}-{platform.machine()}"
+            )
             os.makedirs(cache, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", str(cache))
+            jax.config.update("jax_compilation_cache_dir", cache)
             # cache even fast compiles — CLI processes are short-lived
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         except Exception:

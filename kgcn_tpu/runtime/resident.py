@@ -62,15 +62,36 @@ class DeviceDataset:
     max_nodes: int = struct.field(pytree_node=False, default=1)
 
 
-def supports_resident(ds: Dataset) -> bool:
+def supports_resident(ds: Dataset, *, allow_index_list: bool = False) -> bool:
     """The resident path covers the standard Batcher protocol; engines with
-    their own feed logic (KG label lists, VAE graph-index pairs) keep the
-    streaming path."""
+    their own feed logic (KG label lists) keep the streaming path.
+    ``allow_index_list``: the pair engine consumes ``graph_index_list``
+    itself (its ResidentPairBatcher takes the pairs explicitly), so for it
+    the field does not disqualify the dataset."""
     return (
         ds.adjs is not None
         and ds.label_list is None
-        and ds.graph_index_list is None
+        and (allow_index_list or ds.graph_index_list is None)
     )
+
+
+def resident_enabled(config, ds: Dataset, info: DatasetInfo, *,
+                     allow_index_list: bool = False) -> bool:
+    """THE gate, shared by every engine: config ``device_resident``
+    true / false / "auto" (default).  ``true`` bypasses the HBM budget;
+    ``auto`` enforces it; unsupported datasets always decline (with a
+    message when the user asked explicitly)."""
+    flag = config.get("device_resident", "auto")
+    if flag in (False, "false", "off"):
+        return False
+    if not supports_resident(ds, allow_index_list=allow_index_list):
+        if flag is True:
+            print("[resident] dataset unsupported; streaming batcher")
+        return False
+    if flag is True:
+        return True
+    budget = int(config.get("resident_budget_bytes", DEFAULT_RESIDENT_BUDGET))
+    return estimate_bytes(ds, _aligned_max_nodes(ds, info)) <= budget
 
 
 def estimate_bytes(ds: Dataset, max_nodes: int) -> int:
@@ -119,7 +140,9 @@ def build_device_dataset(
 ) -> DeviceDataset:
     """Host-side one-time packing of a Dataset into per-graph padded arrays
     (uploaded to the default device by the first jitted use)."""
-    assert supports_resident(ds), "dataset not supported by the resident path"
+    assert supports_resident(
+        ds, allow_index_list=True  # index lists are consumed by callers
+    ), "dataset not supported by the resident path"
     N = max_nodes or _aligned_max_nodes(ds, info)
     G = ds.num
     C = len(ds.adjs[0])

@@ -139,7 +139,7 @@ class Trainer:
         self._eval_step = None
         self._epoch_runner = None
         self._eval_runner = None
-        self._scan_runner = None
+        self._scan_runner = {}
 
     def _cast(self, batch: Batch) -> Batch:
         if self.compute_dtype is not None and hasattr(batch, "cast_compute"):
@@ -319,9 +319,14 @@ class Trainer:
 
     def _run_epoch_scanned(self, state: TrainState, batcher, shuffle, epoch):
         const_batch, xs = batcher.epoch_scan_inputs(shuffle=shuffle, epoch=epoch)
-        if self._scan_runner is None:
-            self._scan_runner = self._make_scan_runner(type(batcher).make_scan_batch)
-        state, costs, metrics = self._scan_runner(state, const_batch, xs)
+        # one compiled runner PER BATCHER TYPE — each type's make_scan_batch
+        # assembles a different Batch layout
+        key = type(batcher)
+        runner = self._scan_runner.get(key)
+        if runner is None:
+            runner = self._make_scan_runner(key.make_scan_batch)
+            self._scan_runner[key] = runner
+        state, costs, metrics = runner(state, const_batch, xs)
         costs, metrics = jax.device_get((costs, metrics))
         S = len(costs)
         metric_list = [{k: v[s] for k, v in metrics.items()} for s in range(S)]
