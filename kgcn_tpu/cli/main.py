@@ -166,6 +166,8 @@ def cmd_train_kg(config, ds, info) -> Dict[str, Any]:
     model_name = config.get("model.py", "kg_distmult")
     if model_name in ("model", "gcn"):
         model_name = "kg_distmult"
+    if config.get("mesh"):
+        return _train_kg_sharded(config, ds, info, model_name)
     model = build_model(model_name, info, config)
     trainer = Trainer(model, config, info)
     kb = KGBatcher(
@@ -193,6 +195,59 @@ def cmd_train_kg(config, ds, info) -> Dict[str, Any]:
         ckpt.ckpt_name(model_dir, "last"), trainer.state_tree(state, 0, 0.0)
     )
     result = {"train_time": train_time, "ranking_accuracy": best["acc"]}
+    if config.get("save_info_train"):
+        _save_json(config["save_info_train"], result)
+    return result
+
+
+def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
+    """Big-graph KG training over a device mesh (config ``mesh``): the
+    embedding table + adjacency are edge-partitioned across devices
+    (parallel/big_graph.py).  The checkpoint is written in the single-device
+    format, so ``infer`` works unchanged."""
+    import jax
+
+    from kgcn_tpu.models.kg import KGBatcher
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.parallel.big_graph import from_kg_dataset
+    from kgcn_tpu.parallel.mesh import make_mesh
+    from kgcn_tpu.runtime import checkpoint as ckpt
+    from kgcn_tpu.runtime.train import Trainer
+
+    mesh = make_mesh(dict(config["mesh"]))
+    bg = from_kg_dataset(ds, info, config, mesh)
+    state = bg.init_state(seed=int(config.get("seed", 0)))
+    ll = np.asarray(ds.label_list[0], np.int32)
+    t0 = time.time()
+    state, history = bg.fit(
+        state, ll,
+        epochs=int(config.get("epoch", 50)),
+        pair_mode=config.get("preference_pair_mode", "both"),
+        seed=int(config.get("seed", 0)),
+    )
+    train_time = time.time() - t0
+    for rec in history:
+        print(
+            f"epoch {rec['epoch']}, training cost {rec['train_cost']:.6g} "
+            f"(rank acc={rec['train_accuracy']:.4g})"
+        )
+    print(f"training time: {train_time}[sec] "
+          f"({dict(mesh.shape)} mesh, {bg.strategy} halo)")
+
+    # save in the single-device checkpoint format (infer restores it as-is)
+    model = build_model(model_name, info, config)
+    trainer = Trainer(model, config, info)
+    kb = KGBatcher(ds, info, seed=int(config.get("seed", 0)))
+    sd_state = trainer.init_state(kb.init_batch(), seed=0)
+    sd_state = sd_state.replace(
+        params=bg.to_flax_variables(state)["params"]
+    )
+    model_dir = config.get("save_model_path") or "model"
+    ckpt.save_checkpoint(
+        ckpt.ckpt_name(model_dir, "last"), trainer.state_tree(sd_state, 0, 0.0)
+    )
+    best = max(rec["train_accuracy"] for rec in history)
+    result = {"train_time": train_time, "ranking_accuracy": best}
     if config.get("save_info_train"):
         _save_json(config["save_info_train"], result)
     return result

@@ -1,0 +1,485 @@
+"""Sharded whole-graph KG training — the big-graph scaling path.
+
+The reference trains knowledge graphs batch=1 on ONE device with the whole
+node-embedding table and adjacency resident (sample_kg/network_prediction,
+kgcn/core.py:219-222 label batching).  That caps the graph at one chip's HBM.
+Here the single giant graph is partitioned across the mesh (SURVEY.md §2.11
+"graph/edge partitioning" — the GNN analogue of sequence/context parallelism):
+
+* the node-embedding table lives SHARDED, ``[V/D, dim]`` rows per device —
+  the model no longer has to fit one chip;
+* GCN/GIN refinement over the relation-typed adjacency runs through the
+  edge-partitioned ring SpMM (``parallel/edge_partition.py``): receiver-block
+  local scatters, sender blocks rotated by ``ppermute`` so the collective
+  overlaps the per-offset gather/segment-sum;
+* DistMult triple scoring shards the label list over devices; each device
+  ``all_gather``s the final (small, [V, dim]) embeddings once per step and
+  scores its triple shard; the all_gather's transpose (a reduce_scatter)
+  routes score gradients back to the owning embedding shards;
+* replicated encoder/scorer parameters get psum'd gradients, sharded
+  embedding rows keep theirs local — one SPMD step, Adam applied under the
+  same jit so the sharded moments never leave their devices.
+
+Loss/scoring semantics are the reference's margin-logistic preference loss
+verbatim (sample_kg/network_prediction/model_py/distmult.py:52-56); parity
+with the single-device ``KGLinkPredictor`` is pinned by
+tests/test_big_graph.py (same parameters → same loss, gradients, and update).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kgcn_tpu.nn.layers import glorot_uniform_nd, per_channel_glorot
+from kgcn_tpu.parallel.edge_partition import (
+    allgather_spmm_local,
+    partition_edges,
+    ring_spmm_local,
+)
+
+
+class BigGraphKGTrainer:
+    """Edge-partitioned trainer for one giant multi-relation graph.
+
+    Parameters
+    ----------
+    num_nodes: true entity count V (padded internally to a multiple of D).
+    channels:  relation/adjacency channel count C.
+    embedding_dim: entity embedding width.
+    encoder: 'embedding' (pure DistMult), 'gcn' (tanh∘GraphConv layers) or
+        'gin' (tanh∘GINAggregate layers) — the reference's model_py variants.
+    num_layers: conv layers for gcn/gin encoders (reference uses 2).
+    gamma: margin of the preference loss.
+    strategy: 'ring' (O(V/D·F) memory) or 'allgather' halo exchange.
+    """
+
+    def __init__(self, *, num_nodes: int, channels: int, embedding_dim: int,
+                 mesh: Mesh, axis: str = "data", encoder: str = "gcn",
+                 num_layers: int = 2, gamma: float = 0.1,
+                 learning_rate: float = 0.01, strategy: str = "ring",
+                 node_mask: Optional[np.ndarray] = None):
+        if encoder not in ("embedding", "gcn", "gin"):
+            raise ValueError(f"unknown encoder {encoder!r}")
+        self.mesh, self.axis = mesh, axis
+        self.D = mesh.shape[axis]
+        self.num_nodes = int(num_nodes)
+        self.v_pad = ((self.num_nodes + self.D - 1) // self.D) * self.D
+        self.channels = int(channels)
+        self.dim = int(embedding_dim)
+        self.encoder = encoder
+        self.num_layers = int(num_layers) if encoder != "embedding" else 0
+        self.gamma = float(gamma)
+        self.strategy = strategy
+        self.tx = optax.adam(learning_rate)
+        mask = np.ones(self.v_pad, np.float32)
+        if node_mask is not None:
+            mask[: len(node_mask)] = np.asarray(node_mask, np.float32)
+        mask[self.num_nodes :] = 0.0
+        self._mask = jax.device_put(
+            jnp.asarray(mask), NamedSharding(mesh, P(axis))
+        )
+        self._edges = None
+        self._step_fn = None
+        self._eval_fn = None
+        self._embed_fn = None
+
+    # ------------------------------------------------------------------ #
+    # graph partitioning
+    # ------------------------------------------------------------------ #
+    def partition_graph(self, senders, receivers, weights) -> None:
+        """Partition the [C, E] COO relation-typed adjacency for the ring.
+
+        Per channel, edges are grouped by receiver block and sender-block
+        offset (``partition_edges``); channels share one padded edge budget so
+        the stacks are rectangular ``[C, D, D, E]``.
+        """
+        senders = np.asarray(senders)
+        if senders.ndim == 1:  # single channel convenience
+            senders = senders[None]
+            receivers = np.asarray(receivers)[None]
+            weights = np.asarray(weights)[None]
+        C = senders.shape[0]
+        parts = [
+            partition_edges(
+                senders[c], receivers[c], weights[c], self.v_pad, self.D
+            )
+            for c in range(C)
+        ]
+        E = max(p.senders_local.shape[-1] for p in parts)
+
+        def padded(arrs, dtype):
+            out = np.zeros((C, self.D, self.D, E), dtype)
+            for c, a in enumerate(arrs):
+                out[c, :, :, : a.shape[-1]] = a
+            return out
+
+        sl = padded([p.senders_local for p in parts], np.int32)
+        rl = padded([p.receivers_local for p in parts], np.int32)
+        wl = padded([p.weights for p in parts], np.float32)
+        shard = NamedSharding(self.mesh, P(None, self.axis))
+        self._edges = tuple(
+            jax.device_put(jnp.asarray(a), shard) for a in (sl, rl, wl)
+        )
+
+    # ------------------------------------------------------------------ #
+    # parameters
+    # ------------------------------------------------------------------ #
+    def init_params(self, seed: int = 0) -> dict:
+        """{'embed': [V_pad, dim] (sharded rows), 'theta': replicated}."""
+        k_embed, k_dm, *k_layers = jax.random.split(
+            jax.random.PRNGKey(seed), 2 + max(self.num_layers, 1)
+        )
+        embed = jax.random.normal(k_embed, (self.v_pad, self.dim)) * 0.05
+        embed = jax.device_put(embed, NamedSharding(self.mesh, P(self.axis)))
+        theta = {
+            "distmult": glorot_uniform_nd()(k_dm, (self.channels, self.dim))
+        }
+        for i in range(self.num_layers):
+            if self.encoder == "gcn":
+                theta[f"w{i}"] = per_channel_glorot()(
+                    k_layers[i], (self.channels, self.dim, self.dim)
+                )
+                theta[f"b{i}"] = jnp.zeros((self.channels, self.dim))
+            else:  # gin
+                theta[f"eps{i}"] = jnp.zeros((self.channels,))
+        rep = NamedSharding(self.mesh, P())
+        theta = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), theta
+        )
+        return {"embed": embed, "theta": theta}
+
+    def from_flax_variables(self, variables: dict) -> dict:
+        """Import a single-device ``KGLinkPredictor`` parameter tree (for
+        parity tests and for scaling up a model trained small)."""
+        p = variables["params"]
+        embed = np.zeros((self.v_pad, self.dim), np.float32)
+        src = np.asarray(p["embed"]["embedding"])
+        embed[: src.shape[0]] = src
+        theta = {"distmult": jnp.asarray(p["distmult"]["kernel"])}
+        for i in range(self.num_layers):
+            lp = p[f"conv{i + 1}"]
+            if self.encoder == "gcn":
+                theta[f"w{i}"] = jnp.asarray(lp["kernel"])
+                theta[f"b{i}"] = jnp.asarray(lp["bias"])
+            else:
+                theta[f"eps{i}"] = jnp.asarray(lp["epsilon"])
+        embed = jax.device_put(
+            jnp.asarray(embed), NamedSharding(self.mesh, P(self.axis))
+        )
+        rep = NamedSharding(self.mesh, P())
+        theta = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), theta)
+        return {"embed": embed, "theta": theta}
+
+    def to_flax_variables(self, state: dict) -> dict:
+        """Export back to the single-device ``KGLinkPredictor`` tree (padding
+        rows stripped) — checkpoints stay interchangeable with the
+        single-device engine."""
+        params = jax.device_get(state["params"])
+        theta = params["theta"]
+        p = {
+            "embed": {"embedding": np.asarray(params["embed"])[: self.num_nodes]},
+            "distmult": {"kernel": np.asarray(theta["distmult"])},
+        }
+        for i in range(self.num_layers):
+            if self.encoder == "gcn":
+                p[f"conv{i + 1}"] = {
+                    "kernel": np.asarray(theta[f"w{i}"]),
+                    "bias": np.asarray(theta[f"b{i}"]),
+                }
+            else:
+                p[f"conv{i + 1}"] = {"epsilon": np.asarray(theta[f"eps{i}"])}
+        return {"params": p}
+
+    def init_state(self, seed: int = 0, params: Optional[dict] = None) -> dict:
+        params = params if params is not None else self.init_params(seed)
+        # tx.init is elementwise zeros_like — under jit the sharded embedding
+        # moments inherit the row sharding automatically.
+        opt_state = jax.jit(self.tx.init)(params)
+        return {"params": params, "opt_state": opt_state, "step": 0}
+
+    # ------------------------------------------------------------------ #
+    # forward pieces (run INSIDE shard_map, on one device's block)
+    # ------------------------------------------------------------------ #
+    def _encode_local(self, embed_blk, theta, mask_blk, sl, rl, wl):
+        local = (
+            ring_spmm_local if self.strategy == "ring" else allgather_spmm_local
+        )
+        x = embed_blk * mask_blk[:, None]
+        for i in range(self.num_layers):
+            if self.encoder == "gcn":
+                # Σ_c A_c (X W_c + b_c)  (kgcn/layers.py:32-119 semantics)
+                hw = (
+                    jnp.einsum("vf,cfo->cvo", x, theta[f"w{i}"])
+                    + theta[f"b{i}"][:, None, :]
+                )
+                agg = sum(
+                    local(hw[c], sl[c], rl[c], wl[c], self.axis)
+                    for c in range(self.channels)
+                )
+            else:  # gin: Σ_c (ε_c X + A_c X)  (kgcn/layers.py:400-475)
+                eps = theta[f"eps{i}"]
+                agg = sum(
+                    eps[c] * x + local(x, sl[c], rl[c], wl[c], self.axis)
+                    for c in range(self.channels)
+                )
+            x = jnp.tanh(agg)
+        return x
+
+    def _score(self, z_full, dm, triples):
+        h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+        return jnp.sum(z_full[h] * z_full[t] * dm[r], axis=-1)
+
+    def _local_loss(self, embed_blk, theta, mask_blk, sl, rl, wl, ll, lv):
+        z_local = self._encode_local(embed_blk, theta, mask_blk, sl, rl, wl)
+        z_full = jax.lax.all_gather(z_local, self.axis, tiled=True)
+        s1 = self._score(z_full, theta["distmult"], ll[:, :3])
+        s2 = self._score(z_full, theta["distmult"], ll[:, 3:])
+        # reference loss verbatim (distmult.py:52-56)
+        score = s2 - s1 + self.gamma
+        output = 1.0 / (1.0 + jnp.exp(score))
+        cost = -jnp.log(output + 1.0e-10) * lv
+        correct = jnp.sum((s1 > s2).astype(jnp.float32) * lv)
+        return jnp.sum(cost), (correct, jnp.sum(lv))
+
+    # ------------------------------------------------------------------ #
+    # compiled step / eval
+    # ------------------------------------------------------------------ #
+    def _sharded_grads(self):
+        axis = self.axis
+
+        def local_grads(embed, theta, mask, sl, rl, wl, ll, lv):
+            sl, rl, wl = sl[:, 0], rl[:, 0], wl[:, 0]  # [C, D, E]
+            # ll/lv arrive already sliced to this device's triple shard
+            grad_fn = jax.value_and_grad(
+                self._local_loss, argnums=(0, 1), has_aux=True
+            )
+            (loss, (correct, count)), (g_embed, g_theta) = grad_fn(
+                embed, theta, mask, sl, rl, wl, ll, lv
+            )
+            # replicated params accumulate every device's contribution;
+            # sharded embedding rows already received theirs through the
+            # all_gather/ppermute transposes.
+            g_theta = jax.lax.psum(g_theta, axis)
+            stats = jax.lax.psum(
+                jnp.stack([loss, correct, count]), axis
+            )
+            return g_embed, g_theta, stats
+
+        return shard_map(
+            local_grads,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(), P(axis), P(None, axis), P(None, axis),
+                      P(None, axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(), P()),
+            check_vma=False,
+        )
+
+    def _build_step(self, label_budget: int):
+        sharded = self._sharded_grads()
+        tx = self.tx
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, ll, lv, inv_n):
+            g_embed, g_theta, stats = sharded(
+                state["params"]["embed"], state["params"]["theta"],
+                self._mask, *self._edges, ll, lv,
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g: g * inv_n, {"embed": g_embed, "theta": g_theta}
+            )
+            updates, opt_state = tx.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            return (
+                {"params": params, "opt_state": opt_state,
+                 "step": state["step"] + 1},
+                stats,
+            )
+
+        return step
+
+    def gradients(self, state: dict, label_list: np.ndarray):
+        """Mean-loss gradients {'embed', 'theta'} — the exact tensors the
+        optimizer consumes (parity/debugging hook)."""
+        ll, lv, n = self._shard_labels(label_list)
+        sharded = self._sharded_grads()
+        g_embed, g_theta, _ = jax.jit(sharded)(
+            state["params"]["embed"], state["params"]["theta"], self._mask,
+            *self._edges, ll, lv,
+        )
+        inv_n = 1.0 / max(n, 1)
+        return jax.tree_util.tree_map(
+            lambda g: np.asarray(g) * inv_n,
+            {"embed": g_embed, "theta": g_theta},
+        )
+
+    def _build_eval(self, label_budget: int):
+        axis = self.axis
+
+        def local_eval(embed, theta, mask, sl, rl, wl, ll, lv):
+            sl, rl, wl = sl[:, 0], rl[:, 0], wl[:, 0]
+            loss, (correct, count) = self._local_loss(
+                embed, theta, mask, sl, rl, wl, ll, lv
+            )
+            return jax.lax.psum(jnp.stack([loss, correct, count]), axis)
+
+        sharded = shard_map(
+            local_eval,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(), P(axis), P(None, axis), P(None, axis),
+                      P(None, axis), P(axis), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def ev(params, ll, lv):
+            return sharded(
+                params["embed"], params["theta"], self._mask, *self._edges,
+                ll, lv,
+            )
+
+        return ev
+
+    def _shard_labels(self, label_list: np.ndarray):
+        """Pad a [L, 6] triple list to D equal shards → ([L_pad, 6], [L_pad])."""
+        ll = np.asarray(label_list, np.int32)
+        n = len(ll)
+        per = ((n + self.D - 1) // self.D + 0) if n else 1
+        l_pad = per * self.D
+        out = np.zeros((l_pad, 6), np.int32)
+        out[:n] = ll
+        lv = (np.arange(l_pad) < n).astype(np.float32)
+        shard = NamedSharding(self.mesh, P(self.axis))
+        return (
+            jax.device_put(jnp.asarray(out), shard),
+            jax.device_put(jnp.asarray(lv), shard),
+            n,
+        )
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+    def train_step(self, state: dict, label_list: np.ndarray):
+        """One SPMD step on a [L, 6] (h,r,t,h',r',t') triple list.
+
+        Returns (state, {'cost': mean loss, 'accuracy': rank accuracy}).
+        """
+        assert self._edges is not None, "call partition_graph first"
+        ll, lv, n = self._shard_labels(label_list)
+        if self._step_fn is None or self._label_budget != ll.shape[0]:
+            self._label_budget = ll.shape[0]
+            self._step_fn = self._build_step(ll.shape[0])
+        state, stats = self._step_fn(
+            state, ll, lv, jnp.float32(1.0 / max(n, 1))
+        )
+        loss, correct, count = np.asarray(stats)
+        return state, {
+            "cost": float(loss) / max(n, 1),
+            "accuracy": float(correct) / max(count, 1.0),
+        }
+
+    def evaluate(self, state: dict, label_list: np.ndarray) -> dict:
+        ll, lv, n = self._shard_labels(label_list)
+        if self._eval_fn is None or getattr(self, "_eval_budget", 0) != ll.shape[0]:
+            self._eval_budget = ll.shape[0]
+            self._eval_fn = self._build_eval(ll.shape[0])
+        loss, correct, count = np.asarray(
+            self._eval_fn(state["params"], ll, lv)
+        )
+        return {
+            "cost": float(loss) / max(n, 1),
+            "accuracy": float(correct) / max(count, 1.0),
+            "num": n,
+        }
+
+    def node_embeddings(self, state: dict) -> np.ndarray:
+        """Gathered [V, dim] final embeddings (for MRR / hits@k / export)."""
+        axis = self.axis
+
+        if self._embed_fn is None:
+            def local(embed, theta, mask, sl, rl, wl):
+                z = self._encode_local(
+                    embed, theta, mask, sl[:, 0], rl[:, 0], wl[:, 0]
+                )
+                return z
+
+            sharded = shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(), P(axis), P(None, axis),
+                          P(None, axis), P(None, axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            self._embed_fn = jax.jit(
+                lambda params: sharded(
+                    params["embed"], params["theta"], self._mask, *self._edges
+                )
+            )
+        z = np.asarray(self._embed_fn(state["params"]))
+        return z[: self.num_nodes]
+
+    def fit(self, state: dict, label_list: np.ndarray, *, epochs: int,
+            pair_mode: str = "both", seed: int = 0,
+            validation_list: Optional[np.ndarray] = None,
+            log_every: int = 0):
+        """Epoch loop with per-epoch negative resampling
+        (reference: kgcn/feed.py:33-86 preference pairs)."""
+        from kgcn_tpu.models.kg import sample_negatives
+
+        rng = np.random.RandomState(seed)
+        all_nodes = np.arange(self.num_nodes, dtype=np.int32)
+        ll = np.asarray(label_list, np.int32)
+        if ll.shape[1] == 3:
+            ll = np.concatenate([ll, ll], axis=1)
+        history = []
+        for epoch in range(epochs):
+            ep = sample_negatives(ll, all_nodes, rng, pair_mode)
+            state, tr = self.train_step(state, ep)
+            rec = {"epoch": epoch, **{f"train_{k}": v for k, v in tr.items()}}
+            if validation_list is not None:
+                va = self.evaluate(state, validation_list)
+                rec.update({f"valid_{k}": v for k, v in va.items() if k != "num"})
+            history.append(rec)
+            if log_every and epoch % log_every == 0:
+                print(
+                    f"[big_graph] epoch {epoch}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in rec.items() if k != "epoch")
+                )
+        return state, history
+
+
+def from_kg_dataset(ds, info, config, mesh, axis: str = "data"):
+    """Build a BigGraphKGTrainer from a loaded KG dataset (the same
+    ``ds/info`` the single-device ``KGBatcher`` consumes)."""
+    from kgcn_tpu.data.batcher import Batcher
+
+    base = Batcher(ds, info, batch_size=1, seed=int(config.get("seed", 0)))
+    gb = base.make_batch(np.arange(1))
+    trainer = BigGraphKGTrainer(
+        num_nodes=int(info.all_node_num),
+        channels=int(info.adj_channel_num),
+        embedding_dim=int(config.get("embedding_dim", 10)),
+        mesh=mesh,
+        axis=axis,
+        encoder=config.get("kg_encoder", "embedding"),
+        num_layers=int(config.get("kg_layers", 2)),
+        gamma=float(config.get("kg_gamma", 0.1)),
+        learning_rate=float(config.get("learning_rate", 0.01)),
+        strategy=config.get("halo_strategy", "ring"),
+        node_mask=np.asarray(gb.graph.node_mask),
+    )
+    trainer.partition_graph(
+        np.asarray(gb.graph.senders), np.asarray(gb.graph.receivers),
+        np.asarray(gb.graph.edge_weights),
+    )
+    return trainer

@@ -88,6 +88,42 @@ def partition_edges(senders, receivers, weights, num_nodes: int,
     return PartitionedEdges(sl, rl, wl, v_loc)
 
 
+def ring_spmm_local(x_blk, s_d, r_d, w_d, axis: str):
+    """Per-device ring aggregation, usable INSIDE any enclosing shard_map.
+
+    ``x_blk``: [v_loc, F] this device's node block; ``s_d/r_d/w_d``: [D, E]
+    this device's edge groups by sender-block offset.  D steps of ``ppermute``
+    rotate the node blocks while each offset group is gathered/segment-summed
+    — compute overlaps the collective (statically unrolled so XLA can
+    pipeline), per-device memory stays O(v_loc·F).
+    """
+    D = s_d.shape[0]
+    v_loc = x_blk.shape[0]
+    perm = [(i, (i + 1) % D) for i in range(D)]
+    x_rot = x_blk
+    acc = jnp.zeros_like(x_blk)
+    for o in range(D):
+        gathered = x_rot[s_d[o]] * w_d[o][:, None].astype(x_blk.dtype)
+        acc = acc + jax.ops.segment_sum(gathered, r_d[o], num_segments=v_loc)
+        if o + 1 < D:
+            x_rot = jax.lax.ppermute(x_rot, axis, perm)
+    return acc
+
+
+def allgather_spmm_local(x_blk, s_d, r_d, w_d, axis: str):
+    """Per-device all-gather aggregation (memory O(V·F), one collective)."""
+    D = s_d.shape[0]
+    v_loc = x_blk.shape[0]
+    x_full = jax.lax.all_gather(x_blk, axis)  # [D, v_loc, F]
+    d = jax.lax.axis_index(axis)
+    acc = jnp.zeros_like(x_blk)
+    for o in range(D):
+        src_blk = (d - o) % D
+        gathered = x_full[src_blk][s_d[o]] * w_d[o][:, None].astype(x_blk.dtype)
+        acc = acc + jax.ops.segment_sum(gathered, r_d[o], num_segments=v_loc)
+    return acc
+
+
 def spmm_edge_partitioned(part: PartitionedEdges, x, mesh: Mesh,
                           axis: str = "data", strategy: str = "ring"):
     """Distributed ``out[r] = Σ w_e x[s_e]`` over the mesh.
@@ -95,40 +131,15 @@ def spmm_edge_partitioned(part: PartitionedEdges, x, mesh: Mesh,
     ``x``: [V, F] sharded row-blocks (or replicated host array; the shard_map
     in_spec slices it).  Returns [V, F] with the same block sharding.
     """
-    D = mesh.shape[axis]
     v_loc = part.v_local
     sl = jnp.asarray(part.senders_local)
     rl = jnp.asarray(part.receivers_local)
     wl = jnp.asarray(part.weights)
+    local = ring_spmm_local if strategy == "ring" else allgather_spmm_local
 
-    def local_allgather(x_blk, s_d, r_d, w_d):
-        x_blk = x_blk.reshape(v_loc, -1)
-        s_d, r_d, w_d = s_d[0], r_d[0], w_d[0]
-        x_full = jax.lax.all_gather(x_blk, axis)  # [D, v_loc, F]
-        d = jax.lax.axis_index(axis)
-        acc = jnp.zeros_like(x_blk)
-        for o in range(D):
-            src_blk = (d - o) % D
-            gathered = x_full[src_blk][s_d[o]] * w_d[o][:, None]
-            acc = acc + jax.ops.segment_sum(gathered, r_d[o], num_segments=v_loc)
-        return acc
+    def fn(x_blk, s_d, r_d, w_d):
+        return local(x_blk.reshape(v_loc, -1), s_d[0], r_d[0], w_d[0], axis)
 
-    def local_ring(x_blk, s_d, r_d, w_d):
-        x_blk = x_blk.reshape(v_loc, -1)
-        s_d, r_d, w_d = s_d[0], r_d[0], w_d[0]
-        perm = [(i, (i + 1) % D) for i in range(D)]
-        # statically unrolled ring: XLA can overlap each ppermute with the
-        # next offset's gather/segment-sum
-        x_rot = x_blk
-        acc = jnp.zeros_like(x_blk)
-        for o in range(D):
-            gathered = x_rot[s_d[o]] * w_d[o][:, None]
-            acc = acc + jax.ops.segment_sum(gathered, r_d[o], num_segments=v_loc)
-            if o + 1 < D:
-                x_rot = jax.lax.ppermute(x_rot, axis, perm)
-        return acc
-
-    fn = local_ring if strategy == "ring" else local_allgather
     return jax.jit(
         shard_map(
             fn,

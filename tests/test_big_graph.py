@@ -1,0 +1,183 @@
+"""Sharded big-graph KG training (parallel/big_graph.py): exact parity with
+the single-device KGLinkPredictor, and end-to-end learning over the mesh.
+
+The reference runs whole-KG training batch=1 on one device (sample_kg);
+this path shards the embedding table + adjacency across devices (SURVEY.md
+§2.11 graph/edge partitioning)."""
+import jax
+import numpy as np
+import pytest
+
+from kgcn_tpu.data import build_dataset
+from kgcn_tpu.data.batcher import Batcher
+from kgcn_tpu.data.synthetic import make_kg_dataset
+from kgcn_tpu.models.kg import KGLinkPredictor, sample_negatives
+from kgcn_tpu.parallel.big_graph import BigGraphKGTrainer, from_kg_dataset
+from kgcn_tpu.parallel.mesh import make_mesh
+from kgcn_tpu.runtime.config import default_config
+
+import jax.numpy as jnp
+
+
+def _kg_setup(num_entities=32, num_relations=2, dim=8, seed=0):
+    cfg = default_config()
+    cfg.update(
+        {"with_feature": False, "with_node_embedding": True,
+         "embedding_dim": dim, "task": "link_prediction"}
+    )
+    data = make_kg_dataset(num_entities=num_entities,
+                           num_relations=num_relations, seed=seed)
+    ds, info = build_dataset(data, cfg)
+    base = Batcher(ds, info, batch_size=1, seed=seed)
+    gb = base.make_batch(np.arange(1))
+    ll = np.asarray(ds.label_list[0], np.int32)
+    ll = np.concatenate([ll, ll], axis=1)
+    rng = np.random.RandomState(seed)
+    ll = sample_negatives(ll, np.arange(num_entities, dtype=np.int32), rng)
+    return cfg, ds, info, gb, ll
+
+
+@pytest.mark.parametrize("encoder", ["embedding", "gcn", "gin"])
+@pytest.mark.parametrize("strategy", ["ring", "allgather"])
+def test_big_graph_matches_single_device(encoder, strategy):
+    """Same parameters → same loss, rank accuracy, and gradients as the
+    single-device model, on an 8-way partitioned graph."""
+    dim, V, C = 8, 32, 2
+    cfg, ds, info, gb, ll = _kg_setup(V, C, dim)
+    model = KGLinkPredictor(
+        all_node_num=V, embedding_dim=dim, channels=C, encoder=encoder
+    )
+    batch = gb.replace(label_list=jnp.asarray(ll[None]))
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch, train=False)
+    sd_cost = float(out.cost_opt)
+    sd_acc = float(out.metrics["correct_count"]) / float(out.metrics["count"])
+
+    def sd_loss(params):
+        o = model.apply({"params": params}, batch, train=False)
+        return o.cost_opt
+
+    sd_grads = jax.grad(sd_loss)(variables["params"])
+
+    mesh = make_mesh({"data": 8})
+    bg = BigGraphKGTrainer(
+        num_nodes=V, channels=C, embedding_dim=dim, mesh=mesh,
+        encoder=encoder, num_layers=2, strategy=strategy,
+        node_mask=np.asarray(gb.graph.node_mask),
+    )
+    bg.partition_graph(
+        np.asarray(gb.graph.senders), np.asarray(gb.graph.receivers),
+        np.asarray(gb.graph.edge_weights),
+    )
+    params = bg.from_flax_variables(variables)
+    state = bg.init_state(params=params)
+
+    ev = bg.evaluate(state, ll)
+    assert ev["cost"] == pytest.approx(sd_cost, rel=1e-5, abs=1e-6)
+    assert ev["accuracy"] == pytest.approx(sd_acc, abs=1e-9)
+
+    grads = bg.gradients(state, ll)
+    np.testing.assert_allclose(
+        grads["theta"]["distmult"],
+        np.asarray(sd_grads["distmult"]["kernel"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        grads["embed"][:V],
+        np.asarray(sd_grads["embed"]["embedding"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    if encoder == "gcn":
+        np.testing.assert_allclose(
+            grads["theta"]["w0"], np.asarray(sd_grads["conv1"]["kernel"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            grads["theta"]["b1"], np.asarray(sd_grads["conv2"]["bias"]),
+            rtol=1e-4, atol=1e-6,
+        )
+    elif encoder == "gin":
+        np.testing.assert_allclose(
+            grads["theta"]["eps0"], np.asarray(sd_grads["conv1"]["epsilon"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_big_graph_training_learns_ranking():
+    """fit() on the 8-device mesh learns the synthetic KG's structure."""
+    dim, V, C = 16, 40, 2
+    cfg, ds, info, gb, _ = _kg_setup(V, C, dim)
+    mesh = make_mesh({"data": 8})
+    cfg.update({"embedding_dim": dim, "kg_encoder": "embedding",
+                "learning_rate": 0.05})
+    bg = from_kg_dataset(ds, info, cfg, mesh)
+    assert bg.v_pad == V  # 40 divides 8
+    state = bg.init_state(seed=0)
+    ll = np.asarray(ds.label_list[0], np.int32)
+    state, hist = bg.fit(state, ll, epochs=60, seed=0)
+    assert hist[-1]["train_accuracy"] > 0.8, hist[-1]
+
+    # gathered embeddings have the padded rows stripped
+    z = bg.node_embeddings(state)
+    assert z.shape == (V, dim)
+    assert np.isfinite(z).all()
+
+
+def test_big_graph_pads_nodes_to_mesh_multiple():
+    """V not divisible by D: rows are padded and masked out."""
+    dim, V, C = 8, 30, 1
+    cfg, ds, info, gb, ll = _kg_setup(V, C, dim)
+    mesh = make_mesh({"data": 8})
+    bg = BigGraphKGTrainer(
+        num_nodes=V, channels=C, embedding_dim=dim, mesh=mesh,
+        encoder="embedding", node_mask=np.asarray(gb.graph.node_mask),
+    )
+    assert bg.v_pad == 32
+    bg.partition_graph(
+        np.asarray(gb.graph.senders), np.asarray(gb.graph.receivers),
+        np.asarray(gb.graph.edge_weights),
+    )
+    state = bg.init_state(seed=0)
+    state, tr = bg.train_step(state, ll)
+    assert np.isfinite(tr["cost"])
+    assert bg.node_embeddings(state).shape == (V, dim)
+
+
+def test_big_graph_cli_train_then_infer(tmp_path):
+    """`train` with a mesh config runs the sharded path and writes a
+    single-device-format checkpoint that `infer` restores unchanged."""
+    import json
+    import os
+
+    import joblib
+
+    from kgcn_tpu.cli.main import main
+
+    joblib.dump(make_kg_dataset(num_entities=24, num_relations=2, seed=0),
+                tmp_path / "kg.jbl")
+    cfg = {
+        "dataset": str(tmp_path / "kg.jbl"),
+        "task": "link_prediction",
+        "with_feature": False,
+        "with_node_embedding": True,
+        "embedding_dim": 12,
+        "epoch": 40,
+        "batch_size": 1,
+        "learning_rate": 0.05,
+        "mesh": {"data": 8},
+        "save_model_path": str(tmp_path / "model"),
+        "save_info_train": str(tmp_path / "info.json"),
+        "save_info_test": str(tmp_path / "test.json"),
+        "save_interval": 0,
+        "seed": 0,
+    }
+    with open(tmp_path / "cfg.json", "w") as f:
+        json.dump(cfg, f)
+    main(["train", "--config", str(tmp_path / "cfg.json")])
+    assert os.path.exists(tmp_path / "model/model.last.ckpt")
+    info = json.load(open(tmp_path / "info.json"))
+    assert info["ranking_accuracy"] > 0.8
+
+    main(["infer", "--config", str(tmp_path / "cfg.json")])
+    test_info = json.load(open(tmp_path / "test.json"))
+    assert test_info["mrr"] > 0.0
