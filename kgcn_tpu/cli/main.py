@@ -200,6 +200,27 @@ def cmd_train_kg(config, ds, info) -> Dict[str, Any]:
     return result
 
 
+def _save_serve_info(config, info) -> None:
+    """Sidecar the serving runtime reads next to the checkpoints — the shape
+    contract (head width, node padding, channels) that label-less inference
+    requests cannot carry themselves (kgcn_tpu/runtime/serve.py)."""
+    model_dir = config.get("save_model_path") or "model"
+    payload = {
+        "model.py": config.get("model.py", "gcn"),
+        "task": config.get("task", ""),
+        "label_dim": int(info.label_dim or 0),
+        "graph_node_num": int(info.graph_node_num or 0),
+        "adj_channel_num": int(info.adj_channel_num or 1),
+        "feature_dim": int(getattr(info, "feature_dim", 0) or 0),
+    }
+    try:
+        os.makedirs(model_dir, exist_ok=True)
+        with open(os.path.join(model_dir, "serve_info.json"), "w") as f:
+            json.dump(payload, f, indent=2)
+    except OSError as e:
+        print(f"[serve_info] skipped ({e})")
+
+
 def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
     """Big-graph KG training over a device mesh (config ``mesh``): the
     embedding table + adjacency are edge-partitioned across devices
@@ -282,6 +303,7 @@ def cmd_train(config) -> Dict[str, Any]:
     trainer, state, fit_info, vb = _fit_once(config, train_ds, valid_ds, info)
     train_time = time.time() - t0
     print(f"training time: {train_time}[sec]")
+    _save_serve_info(config, info)
 
     result: Dict[str, Any] = {"train_time": train_time}
     metric_name = _metric_name(task)

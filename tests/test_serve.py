@@ -1,0 +1,177 @@
+"""Serving runtime + HTTP server (runtime/serve.py, cli/serve.py)."""
+import json
+import urllib.request
+
+import joblib
+import numpy as np
+import pytest
+
+from kgcn_tpu.data import Batcher, build_dataset
+from kgcn_tpu.data.synthetic import make_ring_dataset
+from kgcn_tpu.runtime.config import default_config
+from kgcn_tpu.runtime.serve import Predictor, payload_to_data
+
+
+def _train_tiny(tmp_path, epochs=5):
+    """Train a small GCN and return (config, data dict, reference preds)."""
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.train import Trainer
+
+    cfg = default_config()
+    cfg.update({
+        "model.py": "gcn", "task": "classification", "epoch": epochs,
+        "batch_size": 10, "normalize_adj_flag": True,
+        "save_model_path": str(tmp_path / "model"), "save_interval": 0,
+        "label_dim": 2,
+    })
+    data = make_ring_dataset(num_pairs=20, num_nodes=10, seed=0)
+    ds, info = build_dataset(data, cfg)
+    model = build_model("gcn", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    b = Batcher(ds, info, 10, seed=0)
+    state = trainer.init_state(b.make_batch(np.arange(10)), seed=0)
+    state, _ = trainer.fit(state, b, None)
+    ev = trainer.evaluate(state, Batcher(ds, info, 10))
+    return cfg, data, np.asarray(ev["prediction"])
+
+
+def _payload_from(data):
+    """jbl dict → JSON-safe payload (labels stripped: serving requests)."""
+    return {
+        "feature": np.asarray(data["feature"]).tolist(),
+        "dense_adj": np.asarray(data["dense_adj"]).tolist(),
+        "max_node_num": int(data["max_node_num"]),
+    }
+
+
+def test_payload_roundtrip():
+    data = make_ring_dataset(num_pairs=4, num_nodes=8, seed=0)
+    back = payload_to_data(_payload_from(data))
+    np.testing.assert_allclose(back["feature"], np.asarray(data["feature"]))
+    np.testing.assert_allclose(back["dense_adj"], np.asarray(data["dense_adj"]))
+    # COO adjacency variant round-trips too
+    coo = {
+        "adj": [[[np.array([[0, 1], [1, 0]]), np.array([1.0, 1.0]),
+                  (8, 8)]]],
+    }
+    payload = {
+        "adj": [
+            [[t[0].tolist(), t[1].tolist(), list(t[2])] for t in g]
+            for g in coo["adj"]
+        ]
+    }
+    back = payload_to_data(payload)
+    assert back["adj"][0][0][2] == (8, 8)
+    np.testing.assert_allclose(back["adj"][0][0][1], [1.0, 1.0])
+
+
+def test_predictor_matches_trainer(tmp_path):
+    cfg, data, ref_pred = _train_tiny(tmp_path)
+    pred = Predictor(cfg)
+    resp = pred.predict(_payload_from(data))
+    assert resp["num"] == 40
+    got = np.asarray(resp["prediction"])
+    np.testing.assert_allclose(got, ref_pred, rtol=1e-5, atol=1e-6)
+    # second request reuses the compiled executable (no rebuild)
+    resp2 = pred.predict(_payload_from(data))
+    np.testing.assert_allclose(np.asarray(resp2["prediction"]), got)
+    assert pred.requests == 2 and pred.graphs_served == 80
+
+
+def test_http_server_end_to_end(tmp_path):
+    from kgcn_tpu.cli.serve import build_server
+
+    cfg, data, ref_pred = _train_tiny(tmp_path)
+    server, predictor = build_server(cfg, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    import threading
+
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["ready"] is False
+
+        body = json.dumps(_payload_from(data)).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            resp = json.loads(r.read())
+        np.testing.assert_allclose(
+            np.asarray(resp["prediction"]), ref_pred, rtol=1e-5, atol=1e-6
+        )
+        assert resp["latency_ms"] > 0
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["ready"] is True and health["requests"] == 1
+
+        # malformed request → 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b'{"feature": "x"}',
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_missing_checkpoint_is_503(tmp_path):
+    from kgcn_tpu.cli.serve import build_server
+
+    cfg = default_config()
+    cfg.update({"model.py": "gcn", "task": "classification",
+                "save_model_path": str(tmp_path / "nothing"),
+                "label_dim": 2})
+    server, _ = build_server(cfg, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    import threading
+
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        data = make_ring_dataset(num_pairs=2, num_nodes=8, seed=0)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps(_payload_from(data)).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 503
+    finally:
+        server.shutdown()
+
+
+def test_export_predictor(tmp_path):
+    """Serving a jax.export StableHLO artifact (params baked in)."""
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.export import export_model
+    from kgcn_tpu.runtime.serve import ExportPredictor
+    from kgcn_tpu.runtime.train import Trainer
+
+    cfg, data, ref_pred = _train_tiny(tmp_path, epochs=2)
+    ds, info = build_dataset(data, cfg)
+    model = build_model("gcn", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    b = Batcher(ds, info, 10)
+    state = trainer.init_state(b.make_batch(np.arange(10)), seed=0)
+    state = trainer.restore(state, str(tmp_path / "model/model.last.ckpt"))
+    export_model(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        b.make_batch(np.arange(10)), str(tmp_path / "exported.hlo"),
+    )
+    ep = ExportPredictor(str(tmp_path / "exported.hlo"), cfg)
+    resp = ep.predict(_payload_from(data))
+    assert resp["num"] == 40
+    got = np.asarray(resp["prediction"])
+    assert got.shape == (40, 2)
+    np.testing.assert_allclose(got.sum(axis=1), 1.0, rtol=1e-5)
