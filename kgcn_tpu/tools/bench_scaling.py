@@ -49,12 +49,49 @@ def bench_one(D: int, V: int, E: int, F: int, strategy: str, iters: int = 20):
     return E / dt
 
 
+def bench_kg_step(D: int, V: int, E: int, dim: int, strategy: str,
+                  encoder: str = "gcn", iters: int = 10):
+    """Full sharded KG TRAIN step (parallel/big_graph.py): embedding gather,
+    ring/allgather conv, DistMult scoring, backward, Adam — triples/s."""
+    import jax
+
+    from kgcn_tpu.models.kg import sample_negatives
+    from kgcn_tpu.parallel.big_graph import BigGraphKGTrainer
+    from kgcn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    V = ((V + D - 1) // D) * D
+    s = rng.randint(0, V, E).astype(np.int32)
+    r = rng.randint(0, V, E).astype(np.int32)
+    w = np.ones(E, np.float32)
+    ll = np.stack([s, np.zeros(E, np.int32), r] * 2, axis=1)
+    ll = sample_negatives(ll, np.arange(V, dtype=np.int32), rng)
+
+    mesh = make_mesh({"data": D})
+    bg = BigGraphKGTrainer(
+        num_nodes=V, channels=1, embedding_dim=dim, mesh=mesh,
+        encoder=encoder, strategy=strategy,
+    )
+    bg.partition_graph(s, r, w)
+    state = bg.init_state(seed=0)
+    state, _ = bg.train_step(state, ll)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = bg.train_step(state, ll)
+    jax.block_until_ready(state["params"]["embed"])
+    dt = (time.perf_counter() - t0) / iters
+    return len(ll) / dt
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=1 << 14)
     p.add_argument("--edges", type=int, default=1 << 18)
     p.add_argument("--features", type=int, default=64)
     p.add_argument("--strategy", default="ring", choices=["ring", "allgather"])
+    p.add_argument("--workload", default="spmm", choices=["spmm", "kg_step"],
+                   help="spmm: raw edge-partitioned aggregation; "
+                        "kg_step: full sharded KG train step (big_graph)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -67,19 +104,30 @@ def main(argv=None):
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
     results = {}
     base = None
+    unit = "edges_per_s" if args.workload == "spmm" else "triples_per_s"
     for D in sizes:
-        eps = bench_one(D, args.nodes, args.edges, args.features, args.strategy)
+        if args.workload == "spmm":
+            eps = bench_one(
+                D, args.nodes, args.edges, args.features, args.strategy
+            )
+        else:
+            eps = bench_kg_step(
+                D, args.nodes, args.edges, args.features, args.strategy
+            )
         if base is None:
             base = eps
         results[D] = {
-            "edges_per_s": eps,
+            unit: eps,
             "efficiency": eps / (base * D),
         }
         print(
-            f"D={D}: {eps / 1e6:.1f} M edges/s, "
+            f"D={D}: {eps / 1e6:.2f} M {unit.split('_')[0]}/s, "
             f"scaling efficiency {eps / (base * D) * 100:.0f}%"
         )
-    print(json.dumps({"strategy": args.strategy, "results": results}))
+    print(json.dumps(
+        {"workload": args.workload, "strategy": args.strategy,
+         "results": results}
+    ))
 
 
 if __name__ == "__main__":

@@ -181,3 +181,10 @@ def test_big_graph_cli_train_then_infer(tmp_path):
     main(["infer", "--config", str(tmp_path / "cfg.json")])
     test_info = json.load(open(tmp_path / "test.json"))
     assert test_info["mrr"] > 0.0
+
+
+def test_bench_scaling_kg_step_runs():
+    from kgcn_tpu.tools.bench_scaling import bench_kg_step
+
+    tps = bench_kg_step(2, V=64, E=256, dim=8, strategy="ring", iters=2)
+    assert tps > 0
