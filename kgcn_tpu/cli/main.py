@@ -245,6 +245,7 @@ def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
         epochs=int(config.get("epoch", 50)),
         pair_mode=config.get("preference_pair_mode", "both"),
         seed=int(config.get("seed", 0)),
+        label_batch_size=config.get("label_batch_size"),
     )
     train_time = time.time() - t0
     for rec in history:
@@ -255,19 +256,31 @@ def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
     print(f"training time: {train_time}[sec] "
           f"({dict(mesh.shape)} mesh, {bg.strategy} halo)")
 
-    # save in the single-device checkpoint format (infer restores it as-is)
-    model = build_model(model_name, info, config)
-    trainer = Trainer(model, config, info)
-    kb = KGBatcher(ds, info, seed=int(config.get("seed", 0)))
-    sd_state = trainer.init_state(kb.init_batch(), seed=0)
-    sd_state = sd_state.replace(
-        params=bg.to_flax_variables(state)["params"]
-    )
+    # save in the single-device checkpoint format (infer restores it as-is);
+    # KGLinkPredictor hardcodes 2 conv layers, so other depths keep the
+    # big-graph-native tree instead
     model_dir = config.get("save_model_path") or "model"
-    ckpt.save_checkpoint(
-        ckpt.ckpt_name(model_dir, "last"), trainer.state_tree(sd_state, 0, 0.0)
-    )
-    best = max(rec["train_accuracy"] for rec in history)
+    if bg.num_layers in (0, 2):
+        model = build_model(model_name, info, config)
+        trainer = Trainer(model, config, info)
+        kb = KGBatcher(ds, info, seed=int(config.get("seed", 0)))
+        sd_state = trainer.init_state(kb.init_batch(), seed=0)
+        sd_state = sd_state.replace(
+            params=bg.to_flax_variables(state)["params"]
+        )
+        ckpt.save_checkpoint(
+            ckpt.ckpt_name(model_dir, "last"),
+            trainer.state_tree(sd_state, 0, 0.0),
+        )
+    else:
+        print(f"[ckpt] kg_layers={bg.num_layers} has no single-device "
+              "equivalent; saving the big-graph parameter tree (infer "
+              "requires kg_layers in {0, 2})")
+        ckpt.save_checkpoint(
+            ckpt.ckpt_name(model_dir, "last"),
+            {"params": jax.device_get(state["params"])},
+        )
+    best = max((rec["train_accuracy"] for rec in history), default=0.0)
     result = {"train_time": train_time, "ranking_accuracy": best}
     if config.get("save_info_train"):
         _save_json(config["save_info_train"], result)

@@ -80,7 +80,11 @@ class BigGraphKGTrainer:
         self.tx = optax.adam(learning_rate)
         mask = np.ones(self.v_pad, np.float32)
         if node_mask is not None:
-            mask[: len(node_mask)] = np.asarray(node_mask, np.float32)
+            # node_mask may be longer than v_pad (the Batcher lane-aligns its
+            # node padding to multiples of 128) — trim to the rows we keep
+            node_mask = np.asarray(node_mask, np.float32)
+            n = min(len(node_mask), self.v_pad)
+            mask[:n] = node_mask[:n]
         mask[self.num_nodes :] = 0.0
         self._mask = jax.device_put(
             jnp.asarray(mask), NamedSharding(mesh, P(axis))
@@ -89,6 +93,7 @@ class BigGraphKGTrainer:
         self._step_fn = None
         self._eval_fn = None
         self._embed_fn = None
+        self._grads_fn = None
 
     # ------------------------------------------------------------------ #
     # graph partitioning
@@ -127,6 +132,10 @@ class BigGraphKGTrainer:
         self._edges = tuple(
             jax.device_put(jnp.asarray(a), shard) for a in (sl, rl, wl)
         )
+        # the compiled fns close over the edge arrays as constants — a new
+        # partition must invalidate them or steps would use the stale graph
+        self._step_fn = self._eval_fn = self._embed_fn = None
+        self._grads_fn = None
 
     # ------------------------------------------------------------------ #
     # parameters
@@ -158,6 +167,11 @@ class BigGraphKGTrainer:
     def from_flax_variables(self, variables: dict) -> dict:
         """Import a single-device ``KGLinkPredictor`` parameter tree (for
         parity tests and for scaling up a model trained small)."""
+        if self.num_layers > 2:
+            raise ValueError(
+                f"KGLinkPredictor has exactly 2 conv layers; cannot import "
+                f"into a {self.num_layers}-layer trainer"
+            )
         p = variables["params"]
         embed = np.zeros((self.v_pad, self.dim), np.float32)
         src = np.asarray(p["embed"]["embedding"])
@@ -310,8 +324,9 @@ class BigGraphKGTrainer:
         """Mean-loss gradients {'embed', 'theta'} — the exact tensors the
         optimizer consumes (parity/debugging hook)."""
         ll, lv, n = self._shard_labels(label_list)
-        sharded = self._sharded_grads()
-        g_embed, g_theta, _ = jax.jit(sharded)(
+        if getattr(self, "_grads_fn", None) is None:
+            self._grads_fn = jax.jit(self._sharded_grads())
+        g_embed, g_theta, _ = self._grads_fn(
             state["params"]["embed"], state["params"]["theta"], self._mask,
             *self._edges, ll, lv,
         )
@@ -431,9 +446,15 @@ class BigGraphKGTrainer:
     def fit(self, state: dict, label_list: np.ndarray, *, epochs: int,
             pair_mode: str = "both", seed: int = 0,
             validation_list: Optional[np.ndarray] = None,
+            label_batch_size: Optional[int] = None,
             log_every: int = 0):
         """Epoch loop with per-epoch negative resampling
-        (reference: kgcn/feed.py:33-86 preference pairs)."""
+        (reference: kgcn/feed.py:33-86 preference pairs).
+
+        ``label_batch_size``: optimizer steps per epoch operate on slices of
+        this many triples (wrap-padded last slice, like the single-device
+        KGBatcher — reference kgcn/core.py:219-222); default one step on the
+        whole list."""
         from kgcn_tpu.models.kg import sample_negatives
 
         rng = np.random.RandomState(seed)
@@ -441,10 +462,25 @@ class BigGraphKGTrainer:
         ll = np.asarray(label_list, np.int32)
         if ll.shape[1] == 3:
             ll = np.concatenate([ll, ll], axis=1)
+        L = int(label_batch_size) if label_batch_size else len(ll)
         history = []
         for epoch in range(epochs):
             ep = sample_negatives(ll, all_nodes, rng, pair_mode)
-            state, tr = self.train_step(state, ep)
+            order = np.arange(len(ep))
+            rng.shuffle(order)
+            costs, corrects, counts = [], [], []
+            for start in range(0, len(ep), L):
+                idx = order[start : start + L]
+                if len(idx) < L:  # wrap-pad to keep one compiled shape
+                    idx = np.concatenate([idx, order[: L - len(idx)]])
+                state, tr = self.train_step(state, ep[idx])
+                costs.append(tr["cost"])
+                corrects.append(tr["accuracy"] * L)
+                counts.append(L)
+            tr = {
+                "cost": float(np.mean(costs)),
+                "accuracy": float(np.sum(corrects) / np.sum(counts)),
+            }
             rec = {"epoch": epoch, **{f"train_{k}": v for k, v in tr.items()}}
             if validation_list is not None:
                 va = self.evaluate(state, validation_list)

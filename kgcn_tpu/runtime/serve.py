@@ -217,6 +217,22 @@ class ExportPredictor:
         self._path = path
         self._lock = threading.Lock()
         self.requests = 0
+        # the exported executable has ONE fixed traced shape — recover the
+        # batch/node contract from the serialized signature, not the config
+        self.batch_size, self.max_nodes = self._traced_shape()
+
+    def _traced_shape(self):
+        """(n_graph, max_nodes) the artifact was traced with."""
+        import jax
+
+        try:
+            args, _ = jax.tree_util.tree_unflatten(
+                self._exported.in_tree, list(self._exported.in_avals)
+            )
+            g = args[0].graph
+            return int(g.n_graph), int(g.max_nodes)
+        except Exception:
+            return int(self.config.get("batch_size", 32)), None
 
     def _coerce(self, batch):
         """Cast the request batch's leaves to the exported signature's dtypes
@@ -225,13 +241,19 @@ class ExportPredictor:
 
         leaves, treedef = jax.tree_util.tree_flatten(batch)
         avals = self._exported.in_avals
-        if len(leaves) == len(avals):
-            leaves = [
-                np.asarray(leaf, aval.dtype)
-                if getattr(leaf, "dtype", None) != aval.dtype
-                else leaf
-                for leaf, aval in zip(leaves, avals)
-            ]
+        if len(leaves) != len(avals):
+            raise ValueError(
+                f"request batch has {len(leaves)} array leaves but the "
+                f"exported signature expects {len(avals)} — the request's "
+                "modalities/optional fields must match what the model was "
+                "exported with"
+            )
+        leaves = [
+            np.asarray(leaf, aval.dtype)
+            if getattr(leaf, "dtype", None) != aval.dtype
+            else leaf
+            for leaf, aval in zip(leaves, avals)
+        ]
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
@@ -239,23 +261,38 @@ class ExportPredictor:
 
         t0 = time.time()
         data = payload_to_data(payload)
+        if self.max_nodes:  # requests must pad into the traced node shape
+            data = dict(data)
+            data["max_node_num"] = self.max_nodes
         ds, info = build_dataset(data, self.config, test_mode=True)
         # the exported pytree was traced WITH label arrays; feed zeros
         ds = Predictor._ensure_labels(
             ds, int(self.config.get("label_dim", info.label_dim or 1))
         )
-        bs = int(self.config.get("batch_size", ds.num))
+        bs = self.batch_size  # the artifact's one traced batch shape
         b = Batcher(ds, info, bs)
         preds = []
         with self._lock:
             for start in range(0, ds.num, bs):
                 idx = np.arange(start, min(start + bs, ds.num))
                 out = self._fn(self._coerce(b.make_batch(idx)))
-                preds.append(np.asarray(out)[: len(idx)])
+                preds.append(
+                    {k: np.asarray(v)[: len(idx)] for k, v in out.items()}
+                    if isinstance(out, dict)
+                    else np.asarray(out)[: len(idx)]
+                )
             self.requests += 1
-        pred = np.concatenate(preds) if preds else np.zeros((0,))
+        if not preds:
+            pred = np.zeros((0,)).tolist()
+        elif isinstance(preds[0], dict):
+            pred = {
+                k: np.concatenate([p[k] for p in preds]).tolist()
+                for k in preds[0]
+            }
+        else:
+            pred = np.concatenate(preds).tolist()
         return {
-            "prediction": pred.tolist(),
+            "prediction": pred,
             "num": int(ds.num),
             "latency_ms": (time.time() - t0) * 1000.0,
             "checkpoint": self._path,

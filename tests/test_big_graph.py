@@ -188,3 +188,53 @@ def test_bench_scaling_kg_step_runs():
 
     tps = bench_kg_step(2, V=64, E=256, dim=8, strategy="ring", iters=2)
     assert tps > 0
+
+
+def test_big_graph_lane_aligned_mask_v200():
+    """V>128: the Batcher lane-aligns node padding to 256, so the node_mask
+    is LONGER than v_pad — must be trimmed, not crash (regression)."""
+    dim, V, C = 8, 200, 1
+    cfg, ds, info, gb, ll = _kg_setup(V, C, dim)
+    mesh = make_mesh({"data": 8})
+    assert len(np.asarray(gb.graph.node_mask)) == 256  # lane-aligned
+    bg = from_kg_dataset(ds, info, cfg, mesh)
+    assert bg.v_pad == 200
+    state = bg.init_state(seed=0)
+    state, tr = bg.train_step(state, ll)
+    assert np.isfinite(tr["cost"])
+
+
+def test_big_graph_label_batch_size_steps():
+    """label_batch_size splits each epoch into several optimizer steps."""
+    dim, V, C = 8, 32, 1
+    cfg, ds, info, gb, _ = _kg_setup(V, C, dim)
+    mesh = make_mesh({"data": 8})
+    bg = from_kg_dataset(ds, info, cfg, mesh)
+    state = bg.init_state(seed=0)
+    ll = np.asarray(ds.label_list[0], np.int32)  # 32 triples
+    state, hist = bg.fit(state, ll, epochs=2, seed=0, label_batch_size=8)
+    assert int(state["step"]) == 2 * 4  # 32/8 steps per epoch
+
+
+def test_big_graph_repartition_invalidates_compiled_fns():
+    """partition_graph with new edges must not reuse executables that baked
+    in the old adjacency (regression)."""
+    dim, V = 8, 32
+    cfg, ds, info, gb, ll = _kg_setup(V, 1, dim)
+    mesh = make_mesh({"data": 8})
+    bg = BigGraphKGTrainer(
+        num_nodes=V, channels=1, embedding_dim=dim, mesh=mesh,
+        encoder="gcn", node_mask=np.asarray(gb.graph.node_mask),
+    )
+    s = np.asarray(gb.graph.senders)
+    r = np.asarray(gb.graph.receivers)
+    w = np.asarray(gb.graph.edge_weights)
+    bg.partition_graph(s, r, w)
+    params = bg.init_params(seed=0)
+    state = bg.init_state(params=params)
+    z1 = bg.node_embeddings(state)
+    # empty graph → different embeddings through the conv layers
+    bg.partition_graph(s, r, np.zeros_like(w))
+    state2 = bg.init_state(params=params)
+    z2 = bg.node_embeddings(state2)
+    assert not np.allclose(z1, z2)

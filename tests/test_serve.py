@@ -175,3 +175,30 @@ def test_export_predictor(tmp_path):
     got = np.asarray(resp["prediction"])
     assert got.shape == (40, 2)
     np.testing.assert_allclose(got.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_export_predictor_infers_traced_batch(tmp_path):
+    """The exported artifact's traced batch/node shape wins over config and
+    request size (regression: requests smaller than the traced batch)."""
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.export import export_model
+    from kgcn_tpu.runtime.serve import ExportPredictor
+    from kgcn_tpu.runtime.train import Trainer
+
+    cfg, data, _ = _train_tiny(tmp_path, epochs=1)
+    ds, info = build_dataset(data, cfg)
+    model = build_model("gcn", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    b = Batcher(ds, info, 10)
+    state = trainer.init_state(b.make_batch(np.arange(10)), seed=0)
+    export_model(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        b.make_batch(np.arange(10)), str(tmp_path / "exported.hlo"),
+    )
+    serve_cfg = {k: v for k, v in cfg.items() if k != "batch_size"}
+    ep = ExportPredictor(str(tmp_path / "exported.hlo"), serve_cfg)
+    assert ep.batch_size == 10 and ep.max_nodes == 10
+    small = make_ring_dataset(num_pairs=2, num_nodes=10, seed=1)  # 4 graphs
+    resp = ep.predict(_payload_from(small))
+    assert resp["num"] == 4
+    assert np.asarray(resp["prediction"]).shape == (4, 2)
