@@ -56,15 +56,25 @@ def make_handler(predictor):
 
 
 def build_server(config: dict, *, host: str = "0.0.0.0", port: int = 8901,
-                 checkpoint: str | None = None, export: str | None = None):
+                 checkpoint: str | None = None, export: str | None = None,
+                 dynamic_batching: bool = False, window_ms: float = 5.0,
+                 max_graphs: int = 256):
     """Construct (server, predictor) without blocking — used by tests."""
-    from kgcn_tpu.runtime.serve import ExportPredictor, Predictor
+    from kgcn_tpu.runtime.serve import (
+        DynamicBatcher,
+        ExportPredictor,
+        Predictor,
+    )
 
     predictor = (
         ExportPredictor(export, config)
         if export
         else Predictor(config, checkpoint=checkpoint)
     )
+    if dynamic_batching and not export:
+        predictor = DynamicBatcher(
+            predictor, window_ms=window_ms, max_graphs=max_graphs
+        )
     server = ThreadingHTTPServer((host, port), make_handler(predictor))
     return server, predictor
 
@@ -78,6 +88,10 @@ def main(argv=None) -> None:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8901)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--dynamic-batching", action="store_true",
+                   help="coalesce concurrent requests into one device call")
+    p.add_argument("--batch-window-ms", type=float, default=5.0)
+    p.add_argument("--max-batch-graphs", type=int, default=256)
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -88,6 +102,8 @@ def main(argv=None) -> None:
     server, predictor = build_server(
         config, host=args.host, port=args.port,
         checkpoint=args.checkpoint, export=args.export,
+        dynamic_batching=args.dynamic_batching,
+        window_ms=args.batch_window_ms, max_graphs=args.max_batch_graphs,
     )
     print(f"[serve] listening on {args.host}:{args.port} "
           f"(model={config.get('model.py', 'gcn')})")

@@ -200,6 +200,158 @@ class Predictor:
         }
 
 
+class DynamicBatcher:
+    """Coalesces concurrent requests into one device call.
+
+    On a tunnel/remote-attached TPU each dispatch carries fixed latency, so
+    N concurrent 1-graph requests cost N dispatches through the plain
+    Predictor.  The micro-batcher holds arrivals for ``window_ms``, merges
+    requests with identical schemas into one jbl dict, runs ONE compiled
+    inference, and splits the prediction rows back per request — classic
+    dynamic batching, off by default (``kgcn-tpu-serve --dynamic-batching``).
+    """
+
+    _MERGE_AXIS0 = ("feature", "dense_adj", "multi_dense_adj", "label",
+                    "mask_label", "vector_modal", "sequence", "sequence_len")
+
+    def __init__(self, predictor: Predictor, *, window_ms: float = 5.0,
+                 max_graphs: int = 256):
+        self.p = predictor
+        self.window = float(window_ms) / 1000.0
+        self.max_graphs = int(max_graphs)
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._alive = True
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.coalesced_calls = 0
+
+    # -- request side ---------------------------------------------------- #
+    def predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        data = payload_to_data(payload)
+        n = self._num_graphs(data)
+        slot = {"data": data, "n": n, "event": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(slot)
+            self._cv.notify()
+        slot["event"].wait()
+        if slot["error"] is not None:
+            raise slot["error"]
+        return slot["result"]
+
+    def health(self) -> Dict[str, Any]:
+        h = self.p.health()
+        h["dynamic_batching"] = {
+            "window_ms": self.window * 1000.0,
+            "max_graphs": self.max_graphs,
+            "coalesced_calls": self.coalesced_calls,
+        }
+        return h
+
+    def close(self) -> None:
+        with self._cv:
+            self._alive = False
+            self._cv.notify()
+
+    # -- worker side ------------------------------------------------------ #
+    @staticmethod
+    def _num_graphs(data: Dict[str, Any]) -> int:
+        for key in ("feature", "dense_adj", "multi_dense_adj", "adj"):
+            if key in data:
+                return len(data[key])
+        raise ValueError("request carries no adjacency/feature arrays")
+
+    @staticmethod
+    def _schema(data: Dict[str, Any]):
+        """Requests merge only when their key sets and per-graph shapes
+        agree."""
+        sig = []
+        for k in sorted(data):
+            v = data[k]
+            if isinstance(v, np.ndarray):
+                sig.append((k, v.shape[1:], str(v.dtype)))
+            else:
+                sig.append((k, None, type(v).__name__))
+        return tuple(sig)
+
+    def _merge(self, datas):
+        out: Dict[str, Any] = {}
+        for k in datas[0]:
+            vals = [d[k] for d in datas]
+            if k in self._MERGE_AXIS0:
+                out[k] = np.concatenate(vals, axis=0)
+            elif k == "adj":
+                out[k] = [g for v in vals for g in v]
+            elif k == "max_node_num":
+                out[k] = max(int(v) for v in vals)
+            else:  # scalars that must agree (schema-matched already)
+                out[k] = vals[0]
+        return out
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while self._alive and not self._queue:
+                    self._cv.wait()
+                if not self._alive:
+                    return
+            time.sleep(self.window)  # let concurrent arrivals land
+            with self._cv:
+                batch, self._queue = self._queue, []
+            # group by schema, preserve arrival order inside a group
+            groups: Dict[Any, list] = {}
+            for slot in batch:
+                groups.setdefault(self._schema(slot["data"]), []).append(slot)
+            for slots in groups.values():
+                while slots:
+                    take, total = [], 0
+                    while slots and (not take
+                                     or total + slots[0]["n"] <= self.max_graphs):
+                        s = slots.pop(0)
+                        take.append(s)
+                        total += s["n"]
+                    self._execute(take)
+
+    def _execute(self, slots) -> None:
+        try:
+            if len(slots) == 1:
+                slots[0]["result"] = self.p.predict_data(slots[0]["data"])
+                return
+            merged = self._merge([s["data"] for s in slots])
+            resp = self.p.predict_data(merged)
+            self.coalesced_calls += 1
+            pred = resp["prediction"]
+            off = 0
+            for s in slots:
+                n = s["n"]
+                sub = (
+                    {k: v[off : off + n] for k, v in pred.items()}
+                    if isinstance(pred, dict)
+                    else pred[off : off + n]
+                )
+                s["result"] = {
+                    "prediction": sub, "num": n,
+                    "latency_ms": resp["latency_ms"],
+                    "checkpoint": resp["checkpoint"],
+                    "coalesced": len(slots),
+                }
+                off += n
+        except Exception as e:
+            if len(slots) > 1:
+                # isolate the failing request: retry individually
+                for s in slots:
+                    self._execute([s])
+            else:
+                slots[0]["error"] = e
+        finally:
+            for s in slots:
+                s["event"].set()
+
+    def predict_data(self, data):  # API parity with Predictor
+        return self.p.predict_data(data)
+
+
 class ExportPredictor:
     """Serve a ``jax.export`` StableHLO artifact (runtime/export.py) —
     parameters baked in, shapes fixed by the exported signature."""

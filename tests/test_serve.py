@@ -202,3 +202,55 @@ def test_export_predictor_infers_traced_batch(tmp_path):
     resp = ep.predict(_payload_from(small))
     assert resp["num"] == 4
     assert np.asarray(resp["prediction"]).shape == (4, 2)
+
+
+def test_dynamic_batching_coalesces(tmp_path):
+    """Concurrent requests merge into fewer device calls with identical
+    per-request predictions."""
+    import threading
+
+    from kgcn_tpu.runtime.serve import DynamicBatcher
+
+    cfg, data, ref_pred = _train_tiny(tmp_path)
+    base = Predictor(cfg)
+    base.predict(_payload_from(data))  # warm: build + compile
+    n_warm = base.requests
+    db = DynamicBatcher(base, window_ms=100.0)
+    single = make_ring_dataset(num_pairs=1, num_nodes=10, seed=7)
+    results = [None] * 6
+    def worker(i):
+        results[i] = db.predict(_payload_from(single))
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None for r in results)
+    for r in results:
+        assert r["num"] == 2
+        np.testing.assert_allclose(r["prediction"], results[0]["prediction"])
+    # 6 client calls → far fewer device calls
+    assert base.requests - n_warm < 6
+    assert db.coalesced_calls >= 1
+    assert db.health()["dynamic_batching"]["coalesced_calls"] >= 1
+    db.close()
+
+
+def test_dynamic_batching_isolates_bad_request(tmp_path):
+    """A malformed request inside a merged batch fails alone; good requests
+    in other schema groups still succeed."""
+    from kgcn_tpu.runtime.serve import DynamicBatcher
+
+    cfg, data, _ = _train_tiny(tmp_path, epochs=1)
+    base = Predictor(cfg)
+    base.predict(_payload_from(data))  # pin shapes
+    db = DynamicBatcher(base, window_ms=20.0)
+    good = _payload_from(make_ring_dataset(num_pairs=1, num_nodes=10, seed=9))
+    with pytest.raises(Exception):
+        # wrong feature width (5 vs the trained 3) → fails at execution
+        db.predict({"feature": [[[1.0] * 5] * 10],
+                    "dense_adj": [np.eye(10).tolist()],
+                    "max_node_num": 10})
+    resp = db.predict(good)
+    assert resp["num"] == 2
+    db.close()
