@@ -238,6 +238,9 @@ def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
     mesh = make_mesh(dict(config["mesh"]))
     bg = from_kg_dataset(ds, info, config, mesh)
     state = bg.init_state(seed=int(config.get("seed", 0)))
+    if config.get("retrain"):
+        state = bg.restore(config["retrain"], state)
+        print(f"[LOAD] {config['retrain']}")
     ll = np.asarray(ds.label_list[0], np.int32)
     t0 = time.time()
     state, history = bg.fit(
@@ -256,10 +259,13 @@ def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
     print(f"training time: {train_time}[sec] "
           f"({dict(mesh.shape)} mesh, {bg.strategy} halo)")
 
-    # save in the single-device checkpoint format (infer restores it as-is);
-    # KGLinkPredictor hardcodes 2 conv layers, so other depths keep the
-    # big-graph-native tree instead
+    # sharded (orbax) checkpoint: resumable without ever gathering the
+    # embedding table to one host (config ``retrain`` restores it)
     model_dir = config.get("save_model_path") or "model"
+    bg.save(os.path.join(model_dir, "model.big_graph.ckpt"), state)
+    # also save in the single-device checkpoint format (infer restores it
+    # as-is); KGLinkPredictor hardcodes 2 conv layers, so other depths get
+    # only the big-graph tree above
     if bg.num_layers in (0, 2):
         model = build_model(model_name, info, config)
         trainer = Trainer(model, config, info)
@@ -274,12 +280,8 @@ def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
         )
     else:
         print(f"[ckpt] kg_layers={bg.num_layers} has no single-device "
-              "equivalent; saving the big-graph parameter tree (infer "
+              "equivalent; use the big-graph checkpoint for resume (infer "
               "requires kg_layers in {0, 2})")
-        ckpt.save_checkpoint(
-            ckpt.ckpt_name(model_dir, "last"),
-            {"params": jax.device_get(state["params"])},
-        )
     best = max((rec["train_accuracy"] for rec in history), default=0.0)
     result = {"train_time": train_time, "ranking_accuracy": best}
     if config.get("save_info_train"):

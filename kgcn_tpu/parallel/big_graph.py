@@ -216,6 +216,17 @@ class BigGraphKGTrainer:
         # tx.init is elementwise zeros_like — under jit the sharded embedding
         # moments inherit the row sharding automatically.
         opt_state = jax.jit(self.tx.init)(params)
+        # scalar leaves (Adam's count) come back single-device: pin them
+        # replicated on the mesh so every state leaf shares one device set
+        # (checkpoint restore targets this placement too)
+        rep = NamedSharding(self.mesh, P())
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep)
+            if isinstance(x, jax.Array)
+            and not isinstance(x.sharding, NamedSharding)
+            else x,
+            opt_state,
+        )
         return {"params": params, "opt_state": opt_state, "step": 0}
 
     # ------------------------------------------------------------------ #
@@ -442,6 +453,31 @@ class BigGraphKGTrainer:
             )
         z = np.asarray(self._embed_fn(state["params"]))
         return z[: self.num_nodes]
+
+    def save(self, path: str, state: dict) -> str:
+        """Sharded orbax checkpoint — the embedding table and its Adam
+        moments are written shard-by-shard, never gathered to one host
+        (msgpack/to_flax_variables would materialise the full [V, dim]
+        table; at real KG scale that is exactly what must not happen)."""
+        from kgcn_tpu.runtime import checkpoint as ckpt
+
+        return ckpt.save_sharded(
+            path,
+            {"params": state["params"], "opt_state": state["opt_state"],
+             "step": np.asarray(state["step"], np.int32)[None]},
+        )
+
+    def restore(self, path: str, state: dict) -> dict:
+        """Restore into the current mesh's shardings (target = ``state``)."""
+        from kgcn_tpu.runtime import checkpoint as ckpt
+
+        tree = ckpt.load_sharded(
+            path,
+            {"params": state["params"], "opt_state": state["opt_state"],
+             "step": np.asarray(state["step"], np.int32)[None]},
+        )
+        return {"params": tree["params"], "opt_state": tree["opt_state"],
+                "step": int(np.asarray(tree["step"])[0])}
 
     def fit(self, state: dict, label_list: np.ndarray, *, epochs: int,
             pair_mode: str = "both", seed: int = 0,

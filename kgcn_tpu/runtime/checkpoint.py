@@ -55,6 +55,51 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
     return serialization.msgpack_restore(data)
 
 
+def save_sharded(path: str, tree) -> str:
+    """Orbax save WITHOUT host gathering: sharded jax.Arrays (e.g. a
+    big-graph embedding table spread over the mesh) are written shard-by-
+    shard by their owning devices/hosts."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_sharded(path: str, target):
+    """Restore an orbax checkpoint INTO the target's shardings: each leaf
+    comes back as a jax.Array with the same mesh placement as the matching
+    leaf of ``target`` (concrete arrays or ShapeDtypeStructs)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    def abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path), jax.tree_util.tree_map(abstract, target)
+    )
+
+    def replace(r, t):
+        # orbax may land scalar/replicated leaves on one device; pin every
+        # leaf back to the target's placement so downstream jits see one
+        # consistent device set
+        if isinstance(t, jax.Array) and getattr(r, "sharding", None) != t.sharding:
+            return jax.device_put(r, t.sharding)
+        return r
+
+    return jax.tree_util.tree_map(replace, restored, target)
+
+
 def ckpt_name(base_dir: str, tag, fold: Optional[int] = None) -> str:
     """model.<fold>.<tag>.ckpt naming, mirroring reference prefixes
     (kgcn/core.py:314-330, gcn.py:154-167)."""

@@ -238,3 +238,60 @@ def test_big_graph_repartition_invalidates_compiled_fns():
     state2 = bg.init_state(params=params)
     z2 = bg.node_embeddings(state2)
     assert not np.allclose(z1, z2)
+
+
+def test_big_graph_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore keeps the embedding table sharded: params equal,
+    sharding preserved, training resumes."""
+    from jax.sharding import PartitionSpec as P
+
+    dim, V = 8, 32
+    cfg, ds, info, gb, ll = _kg_setup(V, 1, dim)
+    mesh = make_mesh({"data": 8})
+    bg = from_kg_dataset(ds, info, cfg, mesh)
+    state = bg.init_state(seed=0)
+    state, _ = bg.train_step(state, ll)
+    state, _ = bg.train_step(state, ll)
+    path = str(tmp_path / "bg_ckpt")
+    bg.save(path, state)
+    want = np.asarray(state["params"]["embed"])
+
+    bg2 = from_kg_dataset(ds, info, cfg, mesh)
+    state2 = bg2.restore(path, bg2.init_state(seed=1))
+    got = state2["params"]["embed"]
+    assert got.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(got), want)
+    assert state2["step"] == 2
+    state2, tr = bg2.train_step(state2, ll)
+    assert np.isfinite(tr["cost"]) and state2["step"] == 3
+
+
+def test_big_graph_cli_retrain_resumes(tmp_path):
+    """CLI writes the sharded big-graph checkpoint and `retrain` resumes
+    from it."""
+    import json
+    import os
+
+    import joblib
+
+    from kgcn_tpu.cli.main import main
+
+    joblib.dump(make_kg_dataset(num_entities=24, num_relations=1, seed=0),
+                tmp_path / "kg.jbl")
+    cfg = {
+        "dataset": str(tmp_path / "kg.jbl"), "task": "link_prediction",
+        "with_feature": False, "with_node_embedding": True,
+        "embedding_dim": 8, "epoch": 3, "batch_size": 1,
+        "learning_rate": 0.05, "mesh": {"data": 8},
+        "save_model_path": str(tmp_path / "model"),
+        "save_info_train": str(tmp_path / "info.json"),
+        "save_interval": 0, "seed": 0,
+    }
+    json.dump(cfg, open(tmp_path / "cfg.json", "w"))
+    main(["train", "--config", str(tmp_path / "cfg.json")])
+    big = tmp_path / "model" / "model.big_graph.ckpt"
+    assert os.path.isdir(big)
+
+    cfg["retrain"] = str(big)
+    json.dump(cfg, open(tmp_path / "cfg2.json", "w"))
+    main(["train", "--config", str(tmp_path / "cfg2.json")])
