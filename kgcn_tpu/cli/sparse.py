@@ -56,17 +56,44 @@ def cmd_train(config, fold: int = 0):
     tr_idx, va_idx = split_fold(ds.num, fold, num_folds)
     train_ds, valid_ds = ds.subset(tr_idx), ds.subset(va_idx)
     model = _model(config, info)
-    trainer = Trainer(model, config, info)
     bs = int(config["batch_size"])
+    seed = int(config.get("seed", 0))
     from kgcn_tpu.cli.main import _maybe_resident
 
-    tb = _maybe_resident(config, train_ds, info, bs,
-                         seed=int(config.get("seed", 0)))
-    if tb is None:
-        tb = Batcher(train_ds, info, bs, seed=int(config.get("seed", 0)))
-    vb = Batcher(valid_ds, info, bs)
-    state = trainer.init_state(tb.make_batch(np.arange(min(bs, train_ds.num))),
-                               seed=int(config.get("seed", 0)))
+    if config.get("mesh"):
+        # data-parallel over a device mesh (batch_size is PER DEVICE) —
+        # the reaction workload's scale-out path
+        import jax
+
+        from kgcn_tpu.parallel.dp import (
+            DPTrainer,
+            ShardedBatcher,
+            ShardedResidentBatcher,
+        )
+        from kgcn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dict(config["mesh"]))
+        n_shards = mesh.shape.get("data", len(jax.devices()))
+        trainer = DPTrainer(model, config, info, mesh=mesh)
+        rb = _maybe_resident(config, train_ds, info, bs, seed=seed)
+        tb = (
+            ShardedResidentBatcher(rb, n_shards)
+            if rb is not None
+            else ShardedBatcher(Batcher(train_ds, info, bs, seed=seed),
+                                n_shards)
+        )
+        vb = ShardedBatcher(Batcher(valid_ds, info, bs), n_shards)
+        init_batch = tb.make_batch(
+            np.arange(min(bs * n_shards, train_ds.num))
+        )
+    else:
+        trainer = Trainer(model, config, info)
+        tb = _maybe_resident(config, train_ds, info, bs, seed=seed)
+        if tb is None:
+            tb = Batcher(train_ds, info, bs, seed=seed)
+        vb = Batcher(valid_ds, info, bs)
+        init_batch = tb.make_batch(np.arange(min(bs, train_ds.num)))
+    state = trainer.init_state(init_batch, seed=seed)
     t0 = time.time()
     state, fit_info = trainer.fit(state, tb, vb, fold=fold)
     print(f"training time: {time.time() - t0}[sec]")

@@ -119,3 +119,47 @@ def test_fold_split_deterministic():
     assert len(tr) == 8
     all_va = np.concatenate([split_fold(10, f, 5)[1] for f in range(5)])
     assert sorted(all_va) == list(range(10))
+
+
+def test_sparse_gcn_trains_data_parallel(tmp_path):
+    """mesh config: the reaction engine trains DP over the device mesh."""
+    from kgcn_tpu.cli.sparse import cmd_train
+    from kgcn_tpu.runtime.config import load_config
+
+    data = make_ring_dataset(num_pairs=30, seed=0)
+    y = np.argmax(data["label"], axis=1)
+    path = str(tmp_path / "train.tfrecords")
+    write_tfrecord(
+        path,
+        [
+            example_from_graph(
+                data["dense_adj"][i], data["feature"][i],
+                label=[int(y[i])], mask_label=[1],
+            )
+            for i in range(60)
+        ],
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg = {
+        "dataset": path,
+        "num_classes": 2,
+        "batch_size": 4,          # PER DEVICE → global 32
+        "mesh": {"data": 8},
+        "epoch": 15,
+        "learning_rate": 0.001,
+        "out_dims": [64, 64],
+        "dense_dim": 64,
+        "num_folds": 5,
+        "task": "classification",
+        "save_model_path": str(tmp_path / "model"),
+        "save_interval": 0,
+        "shuffle_data": True,
+        "save_info_valid": str(tmp_path / "valid.json"),
+        "seed": 0,
+    }
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    config = load_config(str(cfg_path))
+    state, trainer, info, ev = cmd_train(config, fold=0)
+    acc = float(np.asarray(ev["metrics"]["valid_accuracy"]))
+    assert acc >= 0.75, f"sparse gcn DP acc={acc}"
