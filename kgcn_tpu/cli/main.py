@@ -243,13 +243,24 @@ def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
         print(f"[LOAD] {config['retrain']}")
     ll = np.asarray(ds.label_list[0], np.int32)
     t0 = time.time()
-    state, history = bg.fit(
-        state, ll,
-        epochs=int(config.get("epoch", 50)),
-        pair_mode=config.get("preference_pair_mode", "both"),
-        seed=int(config.get("seed", 0)),
-        label_batch_size=config.get("label_batch_size"),
-    )
+    resident = config.get("device_resident", "auto")
+    if resident not in (False, "false", 0) and not config.get("label_batch_size"):
+        # whole-run-in-one-dispatch path: in-kernel negative sampling,
+        # epochs scanned on device (fit_resident)
+        state, history = bg.fit_resident(
+            state, ll,
+            epochs=int(config.get("epoch", 50)),
+            pair_mode=config.get("preference_pair_mode", "both"),
+            seed=int(config.get("seed", 0)),
+        )
+    else:
+        state, history = bg.fit(
+            state, ll,
+            epochs=int(config.get("epoch", 50)),
+            pair_mode=config.get("preference_pair_mode", "both"),
+            seed=int(config.get("seed", 0)),
+            label_batch_size=config.get("label_batch_size"),
+        )
     train_time = time.time() - t0
     for rec in history:
         print(

@@ -454,6 +454,123 @@ class BigGraphKGTrainer:
         z = np.asarray(self._embed_fn(state["params"]))
         return z[: self.num_nodes]
 
+    # ------------------------------------------------------------------ #
+    # fully device-resident training: negatives sampled in-kernel, the
+    # whole multi-epoch run is ONE dispatch (lax.scan inside shard_map)
+    # ------------------------------------------------------------------ #
+    def _device_negatives(self, key, ll3, pair_mode: str):
+        """Corrupt positives on device (reference semantics:
+        kgcn/feed.py:33-86 — one random side for 'both')."""
+        L = ll3.shape[0]
+        k_ent, k_side = jax.random.split(key)
+        neg = jax.random.randint(k_ent, (L,), 0, self.num_nodes)
+        h, r, t = ll3[:, 0], ll3[:, 1], ll3[:, 2]
+        if pair_mode == "right":
+            h_n, t_n = h, neg
+        elif pair_mode == "left":
+            h_n, t_n = neg, t
+        else:  # both: corrupt one random side per triple
+            side = jax.random.bernoulli(k_side, 0.5, (L,))
+            h_n = jnp.where(side, h, neg)
+            t_n = jnp.where(side, neg, t)
+        return jnp.stack([h, r, t, h_n, r, t_n], axis=1)
+
+    def _opt_specs(self, opt_state):
+        """PartitionSpec tree for an optax state: embed-shaped leaves are
+        row-sharded, everything else replicated."""
+        return jax.tree_util.tree_map(
+            lambda x: P(self.axis)
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.v_pad
+            else P(),
+            opt_state,
+        )
+
+    def fit_resident(self, state: dict, label_list: np.ndarray, *,
+                     epochs: int, pair_mode: str = "both", seed: int = 0):
+        """The entire training run as ONE jit dispatch: positives live
+        sharded on device, each scanned epoch draws fresh in-kernel
+        negatives (per-device folded RNG), takes one Adam step, and psums
+        the stats — zero host↔device traffic until the final history
+        readback.  Returns (state, history) like ``fit``."""
+        assert self._edges is not None, "call partition_graph first"
+        ll = np.asarray(label_list, np.int32)[:, :3]
+        n = len(ll)
+        per = (n + self.D - 1) // self.D
+        pad = np.zeros((per * self.D, 3), np.int32)
+        pad[:n] = ll
+        lv = (np.arange(per * self.D) < n).astype(np.float32)
+        shard = NamedSharding(self.mesh, P(self.axis))
+        ll3 = jax.device_put(jnp.asarray(pad), shard)
+        lvd = jax.device_put(jnp.asarray(lv), shard)
+
+        axis, tx, mode = self.axis, self.tx, pair_mode
+        inv_n = 1.0 / max(n, 1)
+        opt_specs = self._opt_specs(state["opt_state"])
+
+        def local_fit(embed, theta, opt_state, mask, sl, rl, wl,
+                      ll3_loc, lv_loc, keys):
+            sl, rl, wl = sl[:, 0], rl[:, 0], wl[:, 0]
+            d = jax.lax.axis_index(axis)
+
+            def body(carry, key):
+                params, opt = carry
+                ll6 = self._device_negatives(
+                    jax.random.fold_in(key, d), ll3_loc, mode
+                )
+                grad_fn = jax.value_and_grad(
+                    self._local_loss, argnums=(0, 1), has_aux=True
+                )
+                (loss, (correct, count)), (g_e, g_t) = grad_fn(
+                    params["embed"], params["theta"], mask, sl, rl, wl,
+                    ll6, lv_loc,
+                )
+                g_t = jax.lax.psum(g_t, axis)
+                grads = jax.tree_util.tree_map(
+                    lambda g: g * inv_n, {"embed": g_e, "theta": g_t}
+                )
+                updates, opt = tx.update(grads, opt, params)
+                params = optax.apply_updates(params, updates)
+                stats = jax.lax.psum(jnp.stack([loss, correct, count]), axis)
+                return (params, opt), stats
+
+            (params, opt_state), stats = jax.lax.scan(
+                body, ({"embed": embed, "theta": theta}, opt_state), keys
+            )
+            return params["embed"], params["theta"], opt_state, stats
+
+        sharded = shard_map(
+            local_fit,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(), opt_specs, P(axis), P(None, axis),
+                      P(None, axis), P(None, axis), P(axis), P(axis), P()),
+            out_specs=(P(axis), P(), opt_specs, P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(params, opt_state, keys):
+            return sharded(
+                params["embed"], params["theta"], opt_state, self._mask,
+                *self._edges, ll3, lvd, keys,
+            )
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), epochs)
+        embed, theta, opt_state, stats = run(
+            state["params"], state["opt_state"], keys
+        )
+        stats = np.asarray(stats)  # the ONE readback
+        history = [
+            {"epoch": e,
+             "train_cost": float(stats[e, 0]) * inv_n,
+             "train_accuracy": float(stats[e, 1]) / max(stats[e, 2], 1.0)}
+            for e in range(epochs)
+        ]
+        return (
+            {"params": {"embed": embed, "theta": theta},
+             "opt_state": opt_state, "step": int(state["step"]) + epochs},
+            history,
+        )
+
     def save(self, path: str, state: dict) -> str:
         """Sharded orbax checkpoint — the embedding table and its Adam
         moments are written shard-by-shard, never gathered to one host

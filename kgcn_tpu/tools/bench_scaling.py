@@ -74,10 +74,20 @@ def bench_kg_step(D: int, V: int, E: int, dim: int, strategy: str,
     )
     bg.partition_graph(s, r, w)
     state = bg.init_state(seed=0)
-    state, _ = bg.train_step(state, ll)  # compile
+    # device-resident measurement: shard the triple list ONCE and drive the
+    # compiled step directly — no per-step host→device payload or readback
+    # (the production fit() path resamples negatives on host per epoch; this
+    # isolates the device step itself)
+    import jax.numpy as jnp
+
+    ll_dev, lv_dev, n = bg._shard_labels(ll)
+    step = bg._build_step(ll_dev.shape[0])
+    inv_n = jnp.float32(1.0 / max(n, 1))
+    state, _ = step(state, ll_dev, lv_dev, inv_n)  # compile
+    jax.block_until_ready(state["params"]["embed"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, _ = bg.train_step(state, ll)
+        state, _ = step(state, ll_dev, lv_dev, inv_n)
     jax.block_until_ready(state["params"]["embed"])
     dt = (time.perf_counter() - t0) / iters
     return len(ll) / dt

@@ -295,3 +295,21 @@ def test_big_graph_cli_retrain_resumes(tmp_path):
     cfg["retrain"] = str(big)
     json.dump(cfg, open(tmp_path / "cfg2.json", "w"))
     main(["train", "--config", str(tmp_path / "cfg2.json")])
+
+
+def test_big_graph_fit_resident_one_dispatch():
+    """Whole-run scan: learns the KG structure with in-kernel negatives."""
+    dim, V, C = 16, 40, 2
+    cfg, ds, info, gb, _ = _kg_setup(V, C, dim)
+    mesh = make_mesh({"data": 8})
+    cfg.update({"embedding_dim": dim, "kg_encoder": "embedding",
+                "learning_rate": 0.05})
+    bg = from_kg_dataset(ds, info, cfg, mesh)
+    state = bg.init_state(seed=0)
+    ll = np.asarray(ds.label_list[0], np.int32)
+    state, hist = bg.fit_resident(state, ll, epochs=60, seed=0)
+    assert hist[-1]["train_accuracy"] > 0.8, hist[-1]
+    assert int(state["step"]) == 60
+    # state is consumable by the streaming paths afterwards
+    ev = bg.evaluate(state, np.concatenate([ll, ll], axis=1))
+    assert np.isfinite(ev["cost"])
