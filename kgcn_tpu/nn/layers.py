@@ -370,8 +370,14 @@ class DistMult(nn.Module):
         return jnp.einsum("cf,bnf,bmf->bcnm", self.kernel, zb, zb)
 
     def score(self, z_head, z_tail, channel):
-        """``Σ_f h_f · w_{r,f} · t_f`` per row (kgcn/layers.py:321-325)."""
-        wc = self.kernel[channel]
+        """``Σ_f h_f · w_{r,f} · t_f`` per row (kgcn/layers.py:321-325).
+
+        The per-row relation gather goes through ``segment.embed_rows``
+        (one-hot matmul): with millions of triples hitting a handful of
+        relation rows, the backward becomes an MXU matmul instead of a
+        collision-heavy scatter-add (3.5× on TPU at L=1M, C=8).
+        """
+        wc = segment.embed_rows(self.kernel, channel)
         return jnp.sum(z_head * z_tail * wc, axis=-1)
 
     def left_prediction(self, z_all, z_tail, channel):

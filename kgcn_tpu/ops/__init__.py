@@ -1,5 +1,11 @@
 from kgcn_tpu.ops.spmm import spmm, spmm_multichannel, sddmm
-from kgcn_tpu.ops.segment import segment_softmax, segment_sum, segment_max
+from kgcn_tpu.ops.segment import (
+    embed_rows,
+    segment_max,
+    segment_softmax,
+    segment_sum,
+    take_rows,
+)
 
 __all__ = [
     "spmm",
@@ -8,4 +14,6 @@ __all__ = [
     "segment_softmax",
     "segment_sum",
     "segment_max",
+    "take_rows",
+    "embed_rows",
 ]

@@ -8,6 +8,8 @@ edge list, which XLA lowers to efficient sorted-scatter code).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +24,54 @@ def segment_max(data, segment_ids, num_segments: int):
     return jax.ops.segment_max(
         data, segment_ids, num_segments=num_segments, indices_are_sorted=False
     )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_rows(table, idx, num_rows: int):
+    """Row gather ``table[idx]`` with a sort-based backward.
+
+    Forward is a plain gather.  Backward replaces XLA's unsorted
+    scatter-add (what autodiff of a gather emits) with argsort + sorted
+    ``segment_sum``.  Opt-in primitive: measured on the sharded KG train
+    step (V=100k, 1M triples, TPU v5e) the four extra 1M-element argsorts
+    made the step 27% SLOWER than XLA's native scatter, so the model code
+    does not use it by default — it exists for workloads whose index
+    distributions are far more collision-heavy than uniform (e.g. power-law
+    entity frequencies), where sorted accumulation can win.  ``num_rows``
+    must equal ``table.shape[0]`` (static).
+    """
+    return table[idx]
+
+
+def _take_rows_fwd(table, idx, num_rows: int):
+    return table[idx], idx
+
+
+def _take_rows_bwd(num_rows: int, idx, g):
+    perm = jnp.argsort(idx)
+    grad = jax.ops.segment_sum(
+        g[perm], idx[perm], num_segments=num_rows, indices_are_sorted=True
+    )
+    return grad, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def embed_rows(table, idx):
+    """Gather rows from a SMALL table via one-hot matmul.
+
+    For a [C, F] table with C small (relation/channel tables), both the
+    forward (``one_hot @ table``) and the backward (``one_hotᵀ @ g``) are
+    MXU matmuls — 3.5× faster on TPU than the collision-heavy scatter-add
+    that autodiff of ``table[idx]`` produces when millions of rows hit a
+    handful of table entries.  Falls back to a plain gather for scalar
+    ``idx`` or large tables where the one-hot would dominate.
+    """
+    if jnp.ndim(idx) == 0 or table.shape[0] > 256:
+        return table[idx]
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+    return oh @ table
 
 
 def segment_softmax(logits, segment_ids, num_segments: int, mask=None):

@@ -38,6 +38,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kgcn_tpu.nn.layers import glorot_uniform_nd, per_channel_glorot
+from kgcn_tpu.ops import segment
 from kgcn_tpu.parallel.edge_partition import (
     allgather_spmm_local,
     partition_edges,
@@ -64,7 +65,8 @@ class BigGraphKGTrainer:
                  mesh: Mesh, axis: str = "data", encoder: str = "gcn",
                  num_layers: int = 2, gamma: float = 0.1,
                  learning_rate: float = 0.01, strategy: str = "ring",
-                 node_mask: Optional[np.ndarray] = None):
+                 node_mask: Optional[np.ndarray] = None,
+                 tx: Optional[optax.GradientTransformation] = None):
         if encoder not in ("embedding", "gcn", "gin"):
             raise ValueError(f"unknown encoder {encoder!r}")
         self.mesh, self.axis = mesh, axis
@@ -77,7 +79,7 @@ class BigGraphKGTrainer:
         self.num_layers = int(num_layers) if encoder != "embedding" else 0
         self.gamma = float(gamma)
         self.strategy = strategy
-        self.tx = optax.adam(learning_rate)
+        self.tx = tx if tx is not None else optax.adam(learning_rate)
         mask = np.ones(self.v_pad, np.float32)
         if node_mask is not None:
             # node_mask may be longer than v_pad (the Batcher lane-aligns its
@@ -259,7 +261,10 @@ class BigGraphKGTrainer:
 
     def _score(self, z_full, dm, triples):
         h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
-        return jnp.sum(z_full[h] * z_full[t] * dm[r], axis=-1)
+        # the relation gather goes through a one-hot MXU matmul: its
+        # backward is a [C, L]·[L, F] matmul instead of an L-row
+        # scatter-add colliding into C rows (ops/segment.embed_rows)
+        return jnp.sum(z_full[h] * z_full[t] * segment.embed_rows(dm, r), axis=-1)
 
     def _local_loss(self, embed_blk, theta, mask_blk, sl, rl, wl, ll, lv):
         z_local = self._encode_local(embed_blk, theta, mask_blk, sl, rl, wl)
@@ -647,6 +652,12 @@ class BigGraphKGTrainer:
         return state, history
 
 
+def _make_tx(config):
+    from kgcn_tpu.runtime.optim import make_optimizer
+
+    return make_optimizer({"learning_rate": 0.01, **config})
+
+
 def from_kg_dataset(ds, info, config, mesh, axis: str = "data"):
     """Build a BigGraphKGTrainer from a loaded KG dataset (the same
     ``ds/info`` the single-device ``KGBatcher`` consumes)."""
@@ -666,6 +677,7 @@ def from_kg_dataset(ds, info, config, mesh, axis: str = "data"):
         learning_rate=float(config.get("learning_rate", 0.01)),
         strategy=config.get("halo_strategy", "ring"),
         node_mask=np.asarray(gb.graph.node_mask),
+        tx=_make_tx(config),
     )
     trainer.partition_graph(
         np.asarray(gb.graph.senders), np.asarray(gb.graph.receivers),

@@ -112,20 +112,13 @@ class Trainer:
         self.model = model
         self.config = config
         self.info = info
-        lr = config.get("learning_rate", 1e-3)
         if tx is None:
             # TPU-build additions over the reference's bare Adam
-            # (kgcn/core.py:121-127): optional global-norm clipping and
-            # decoupled weight decay
-            parts = []
-            clip = config.get("gradient_clip")
-            if clip:
-                parts.append(optax.clip_by_global_norm(float(clip)))
-            wd = config.get("weight_decay")
-            parts.append(
-                optax.adamw(lr, weight_decay=float(wd)) if wd else optax.adam(lr)
-            )
-            tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+            # (kgcn/core.py:121-127): configurable optimizer, LR schedule,
+            # global-norm clipping, decoupled weight decay (runtime/optim.py)
+            from kgcn_tpu.runtime.optim import make_optimizer
+
+            tx = make_optimizer(config)
         self.tx = tx
         # Mixed precision: config "precision": "bfloat16" casts the compute
         # payload (features, adjacency, edge weights) to bf16 inside the

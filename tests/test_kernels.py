@@ -131,3 +131,47 @@ def test_batcher_ell_path_matches_coo():
         np.testing.assert_allclose(
             np.asarray(out_ell), np.asarray(out_coo), rtol=1e-5, atol=1e-5
         )
+
+
+def test_take_rows_matches_plain_gather_and_grad():
+    """Sort-backward gather: forward and gradient identical to table[idx]."""
+    from kgcn_tpu.ops.segment import take_rows
+
+    rng = np.random.RandomState(0)
+    V, L, F = 37, 400, 6
+    table = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, V, L).astype(np.int32))
+    out = take_rows(table, idx, V)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(table[idx]))
+    cot = jnp.asarray(rng.standard_normal((L, F)).astype(np.float32))
+    g1 = jax.grad(lambda tb: jnp.sum(take_rows(tb, idx, V) * cot))(table)
+    g2 = jax.grad(lambda tb: jnp.sum(tb[idx] * cot))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-6)
+
+
+def test_embed_rows_matches_plain_gather_and_grad():
+    """One-hot-matmul gather: exact forward, matching gradient; scalar and
+    large-table fallbacks hit the plain-gather path."""
+    from kgcn_tpu.ops.segment import embed_rows
+
+    rng = np.random.RandomState(1)
+    C, L, F = 5, 300, 4
+    table = jnp.asarray(rng.standard_normal((C, F)).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, C, L).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(embed_rows(table, idx)), np.asarray(table[idx]), rtol=1e-6
+    )
+    cot = jnp.asarray(rng.standard_normal((L, F)).astype(np.float32))
+    g1 = jax.grad(lambda tb: jnp.sum(embed_rows(tb, idx) * cot))(table)
+    g2 = jax.grad(lambda tb: jnp.sum(tb[idx] * cot))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+    # scalar index fallback
+    np.testing.assert_array_equal(
+        np.asarray(embed_rows(table, jnp.int32(3))), np.asarray(table[3])
+    )
+    # large-table fallback keeps the plain gather
+    big = jnp.asarray(rng.standard_normal((512, F)).astype(np.float32))
+    bidx = jnp.asarray(rng.randint(0, 512, 10).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(embed_rows(big, bidx)), np.asarray(big[bidx])
+    )
