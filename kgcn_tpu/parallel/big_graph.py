@@ -215,21 +215,26 @@ class BigGraphKGTrainer:
 
     def init_state(self, seed: int = 0, params: Optional[dict] = None) -> dict:
         params = params if params is not None else self.init_params(seed)
-        # tx.init is elementwise zeros_like — under jit the sharded embedding
-        # moments inherit the row sharding automatically.
         opt_state = jax.jit(self.tx.init)(params)
-        # scalar leaves (Adam's count) come back single-device: pin them
-        # replicated on the mesh so every state leaf shares one device set
-        # (checkpoint restore targets this placement too)
-        rep = NamedSharding(self.mesh, P())
+        # place every optimizer leaf explicitly: embed-shaped moment tables
+        # row-sharded over the mesh (jit(tx.init) may hand them back
+        # REPLICATED — that materialises [V, dim] moments on every device
+        # and makes the train step's first output mismatch its input avals,
+        # forcing a second full compilation), scalars/theta replicated
         opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep)
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s))
             if isinstance(x, jax.Array)
-            and not isinstance(x.sharding, NamedSharding)
             else x,
             opt_state,
+            self._opt_specs(opt_state),
         )
-        return {"params": params, "opt_state": opt_state, "step": 0}
+        rep = NamedSharding(self.mesh, P())
+        # the step counter must enter the jitted step exactly as the step
+        # emits it (strong-typed replicated i32 scalar) — a Python int here
+        # causes a silent SECOND compilation of the train step on call 1
+        # (10s+ through this environment's remote-compile tunnel)
+        step0 = jax.device_put(jnp.asarray(0, jnp.int32), rep)
+        return {"params": params, "opt_state": opt_state, "step": step0}
 
     # ------------------------------------------------------------------ #
     # forward pieces (run INSIDE shard_map, on one device's block)
@@ -311,6 +316,28 @@ class BigGraphKGTrainer:
             check_vma=False,
         )
 
+    def _constrain(self, tree):
+        """Pin embed-shaped leaves to the row sharding, the rest replicated.
+
+        Without this, GSPMD re-shards Adam's embedding-moment tables to
+        replicated on the step OUTPUT: on a real mesh that materialises the
+        full [V, dim] moments on every device (defeating the sharded-table
+        design), and the input/output sharding mismatch forces a second
+        full compilation of the step on its second call.
+        """
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(
+                    self.mesh,
+                    P(self.axis)
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.v_pad
+                    else P(),
+                ),
+            ),
+            tree,
+        )
+
     def _build_step(self, label_budget: int):
         sharded = self._sharded_grads()
         tx = self.tx
@@ -329,7 +356,8 @@ class BigGraphKGTrainer:
             )
             params = optax.apply_updates(state["params"], updates)
             return (
-                {"params": params, "opt_state": opt_state,
+                {"params": self._constrain(params),
+                 "opt_state": self._constrain(opt_state),
                  "step": state["step"] + 1},
                 stats,
             )
@@ -570,9 +598,13 @@ class BigGraphKGTrainer:
              "train_accuracy": float(stats[e, 1]) / max(stats[e, 2], 1.0)}
             for e in range(epochs)
         ]
+        step_out = jax.device_put(
+            jnp.asarray(int(state["step"]) + epochs, jnp.int32),
+            NamedSharding(self.mesh, P()),
+        )
         return (
             {"params": {"embed": embed, "theta": theta},
-             "opt_state": opt_state, "step": int(state["step"]) + epochs},
+             "opt_state": opt_state, "step": step_out},
             history,
         )
 
@@ -598,8 +630,12 @@ class BigGraphKGTrainer:
             {"params": state["params"], "opt_state": state["opt_state"],
              "step": np.asarray(state["step"], np.int32)[None]},
         )
+        step0 = jax.device_put(
+            jnp.asarray(int(np.asarray(tree["step"])[0]), jnp.int32),
+            NamedSharding(self.mesh, P()),
+        )
         return {"params": tree["params"], "opt_state": tree["opt_state"],
-                "step": int(np.asarray(tree["step"])[0])}
+                "step": step0}
 
     def fit(self, state: dict, label_list: np.ndarray, *, epochs: int,
             pair_mode: str = "both", seed: int = 0,

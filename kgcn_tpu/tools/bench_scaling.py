@@ -83,7 +83,11 @@ def bench_kg_step(D: int, V: int, E: int, dim: int, strategy: str,
     ll_dev, lv_dev, n = bg._shard_labels(ll)
     step = bg._build_step(ll_dev.shape[0])
     inv_n = jnp.float32(1.0 / max(n, 1))
-    state, _ = step(state, ll_dev, lv_dev, inv_n)  # compile
+    # warm TWO calls: a state-leaf aval mismatch would compile a second
+    # executable on call 1 and silently pollute the timed region (the
+    # remote-compile tunnel here costs 10s+ per compilation)
+    for _ in range(2):
+        state, _ = step(state, ll_dev, lv_dev, inv_n)
     jax.block_until_ready(state["params"]["embed"])
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -313,3 +313,45 @@ def test_big_graph_fit_resident_one_dispatch():
     # state is consumable by the streaming paths afterwards
     ev = bg.evaluate(state, np.concatenate([ll, ll], axis=1))
     assert np.isfinite(ev["cost"])
+
+
+def test_big_graph_step_preserves_shardings_and_compiles_once():
+    """The train step's output state must keep the embedding table and its
+    Adam moments ROW-SHARDED (P('data')) and the step counter a strong i32
+    scalar — an aval mismatch between init_state and the step output forces
+    a full second compilation of the step (10s+ through a remote-compile
+    backend) and, on a real mesh, would replicate the [V, dim] moment
+    tables onto every device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg, ds, info, gb, ll = _kg_setup(num_entities=64, dim=8)
+    mesh = make_mesh({"data": 8})
+    bg = BigGraphKGTrainer(num_nodes=64, channels=2, embedding_dim=8,
+                           mesh=mesh, encoder="embedding")
+    bg.partition_graph(np.asarray(gb.graph.senders),
+                       np.asarray(gb.graph.receivers),
+                       np.asarray(gb.graph.edge_weights))
+    state = bg.init_state(seed=0)
+
+    def leaf_desc(tree):
+        return [
+            (x.dtype.name, tuple(x.shape), str(x.sharding),
+             getattr(x, "weak_type", None))
+            for x in jax.tree_util.tree_leaves(tree)
+            if isinstance(x, jax.Array)
+        ]
+
+    before = leaf_desc(state)
+    state, _ = bg.train_step(state, ll)
+    after = leaf_desc(state)
+    assert before == after, (
+        "state avals/shardings changed across the step:\n"
+        + "\n".join(f"{b} -> {a}" for b, a in zip(before, after) if b != a)
+    )
+    # embed rows and both Adam moment tables stay partitioned on 'data'
+    row_sharded = [
+        d for d in after if d[1] == (64, 8) and "'data'" in d[2].replace('"', "'")
+    ]
+    assert len(row_sharded) >= 3, after
+    # second step reuses the same compiled executable (no aval drift)
+    state, _ = bg.train_step(state, ll)
