@@ -97,15 +97,59 @@ def bench_kg_step(D: int, V: int, E: int, dim: int, strategy: str,
     return len(ll) / dt
 
 
+def bench_dp_gnn(D: int, model_name: str, per_device_batch: int = 32,
+                 num_nodes: int = 64, features: int = 32, iters: int = 10):
+    """Full data-parallel GNN TRAIN step (parallel/dp.py) at mesh size D —
+    the BASELINE.json scaling target workload (GIN / sparse-GCN edges/s).
+
+    Global batch grows with D (weak scaling, the production regime); the
+    reported edges/s counts every adjacency edge aggregated per step."""
+    import jax
+
+    from kgcn_tpu.data import Batcher, build_dataset
+    from kgcn_tpu.data.synthetic import make_random_graphs
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.parallel.dp import DPTrainer, ShardedBatcher
+    from kgcn_tpu.parallel.mesh import make_mesh
+    from kgcn_tpu.runtime.config import default_config
+
+    cfg = default_config()
+    cfg.update({"task": "classification", "learning_rate": 1e-3})
+    B = per_device_batch * D
+    data = make_random_graphs(B, num_nodes, features, avg_degree=8, seed=0)
+    ds, info = build_dataset(data, cfg)
+    mesh = make_mesh({"data": D})
+    model = build_model(model_name, info, cfg)
+    trainer = DPTrainer(model, cfg, info, mesh=mesh)
+    sb = ShardedBatcher(Batcher(ds, info, per_device_batch, seed=0), D)
+    batch = sb.make_batch(np.arange(B))
+    n_edges = int(np.sum(np.asarray(batch.graph.edge_weights) != 0))
+    state = trainer.init_state(batch, seed=0)
+    for _ in range(2):  # compile + settle
+        state, cost, _ = trainer.train_step(state, batch)
+    jax.block_until_ready(cost)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, cost, _ = trainer.train_step(state, batch)
+    jax.block_until_ready(cost)
+    dt = (time.perf_counter() - t0) / iters
+    return n_edges / dt
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=1 << 14)
     p.add_argument("--edges", type=int, default=1 << 18)
     p.add_argument("--features", type=int, default=64)
     p.add_argument("--strategy", default="ring", choices=["ring", "allgather"])
-    p.add_argument("--workload", default="spmm", choices=["spmm", "kg_step"],
+    p.add_argument("--workload", default="spmm",
+                   choices=["spmm", "kg_step", "dp_gin", "dp_gcn"],
                    help="spmm: raw edge-partitioned aggregation; "
-                        "kg_step: full sharded KG train step (big_graph)")
+                        "kg_step: full sharded KG train step (big_graph); "
+                        "dp_gin/dp_gcn: data-parallel GNN train step "
+                        "(weak scaling, edges/s — the BASELINE target)")
+    p.add_argument("--batch", type=int, default=32,
+                   help="per-device batch for dp_* workloads")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -118,15 +162,20 @@ def main(argv=None):
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
     results = {}
     base = None
-    unit = "edges_per_s" if args.workload == "spmm" else "triples_per_s"
+    unit = "triples_per_s" if args.workload == "kg_step" else "edges_per_s"
     for D in sizes:
         if args.workload == "spmm":
             eps = bench_one(
                 D, args.nodes, args.edges, args.features, args.strategy
             )
-        else:
+        elif args.workload == "kg_step":
             eps = bench_kg_step(
                 D, args.nodes, args.edges, args.features, args.strategy
+            )
+        else:  # dp_gin / dp_gcn: weak scaling — per-device work constant
+            eps = bench_dp_gnn(
+                D, args.workload.removeprefix("dp_"),
+                per_device_batch=args.batch, features=args.features,
             )
         if base is None:
             base = eps
