@@ -46,3 +46,49 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(config: Optional[Dict] = None) -> bool:
+    """Start the multi-host runtime (``jax.distributed.initialize``).
+
+    Call ONCE per process, before any other jax op, on every host of the
+    slice/cluster.  After it, ``jax.devices()`` spans all hosts and
+    ``make_mesh`` builds global meshes whose collectives ride ICI
+    intra-slice and DCN across slices.
+
+    ``config`` keys (config file ``"distributed": {...}``, all optional —
+    on TPU pods jax autodetects everything and an empty dict suffices):
+    ``coordinator_address`` ("host:port"), ``num_processes``,
+    ``process_id``, ``local_device_ids``.  Returns True if initialization
+    ran, False if it was skipped (already initialized).
+    """
+    import jax._src.distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return False  # already initialized
+    cfg = dict(config or {})
+    kwargs = {}
+    for key in ("coordinator_address", "num_processes", "process_id",
+                "local_device_ids"):
+        if cfg.get(key) is not None:
+            kwargs[key] = cfg[key]
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def process_index_range(n_items: int, num_processes: Optional[int] = None,
+                        process_id: Optional[int] = None):
+    """This process's contiguous [start, stop) slice of a global dataset.
+
+    The multi-host input-pipeline contract: each host loads ONLY its slice
+    (sharded jbl / tfrecord ingest), builds per-device batches from it, and
+    the global batch is assembled by the mesh sharding — no host ever
+    materialises the full dataset.  Every process must use the same
+    ``n_items``; sizes differ by at most one item across processes.
+    """
+    np_ = jax.process_count() if num_processes is None else num_processes
+    pid = jax.process_index() if process_id is None else process_id
+    base, extra = divmod(n_items, np_)
+    start = pid * base + min(pid, extra)
+    stop = start + base + (1 if pid < extra else 0)
+    return start, stop

@@ -40,3 +40,12 @@ def setup_jax(config: dict | None = None, *, cpu: bool = False) -> None:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         except Exception:
             pass  # cache is an optimisation; never fail a run over it
+    # multi-host runtime: config '"distributed": {}' (or with explicit
+    # coordinator_address / num_processes / process_id) starts
+    # jax.distributed so jax.devices() spans every host of the slice —
+    # run the SAME CLI command on each host
+    dist = (config or {}).get("distributed")
+    if dist is not None and not cpu:
+        from kgcn_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(dist if isinstance(dist, dict) else {})

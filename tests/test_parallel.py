@@ -146,3 +146,50 @@ def test_dp_resident_epoch_matches_streaming(tmp_path):
     e2 = tr.evaluate(s1, srb)
     assert abs(e1["cost"] - e2["cost"]) < 1e-6
     np.testing.assert_allclose(e1["prediction"], e2["prediction"], atol=1e-5)
+
+
+def test_process_index_range_partitions_exactly():
+    """Multi-host input contract: per-process slices cover [0, n) exactly
+    once, sizes differing by at most one item."""
+    from kgcn_tpu.parallel.mesh import process_index_range
+
+    for n, np_ in [(10, 3), (8, 8), (7, 2), (5, 6), (0, 4), (100, 1)]:
+        spans = [process_index_range(n, np_, p) for p in range(np_)]
+        covered = []
+        for start, stop in spans:
+            covered.extend(range(start, stop))
+        assert covered == list(range(n)), (n, np_, spans)
+        sizes = [stop - start for start, stop in spans]
+        assert max(sizes) - min(sizes) <= 1
+
+    # defaults resolve from the live (single-process) runtime
+    import jax
+
+    start, stop = process_index_range(12)
+    assert (start, stop) == (0, 12) and jax.process_count() == 1
+
+
+def test_initialize_distributed_noop_when_unconfigured(monkeypatch):
+    """Single-process: already-initialized state short-circuits; config
+    keys are forwarded to jax.distributed.initialize."""
+    from kgcn_tpu.parallel import mesh as M
+
+    calls = {}
+
+    class FakeDist:
+        def initialize(self, **kw):
+            calls.update(kw)
+
+    monkeypatch.setattr(M.jax, "distributed", FakeDist())
+    import jax._src.distributed as _dist
+
+    monkeypatch.setattr(_dist.global_state, "client", None, raising=False)
+    ran = M.initialize_distributed(
+        {"coordinator_address": "h:1234", "num_processes": 4,
+         "process_id": 2, "local_device_ids": None}
+    )
+    assert ran and calls == {"coordinator_address": "h:1234",
+                             "num_processes": 4, "process_id": 2}
+
+    monkeypatch.setattr(_dist.global_state, "client", object(), raising=False)
+    assert M.initialize_distributed({}) is False
