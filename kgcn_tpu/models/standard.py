@@ -116,7 +116,10 @@ class GATModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> ModelOutput:
-        g = batch.graph  # GAT uses the edge lists directly
+        # dense [B,N,N] attention grid on the MXU for molecular sizes;
+        # GAT falls back to the edge-list segment path when the dense
+        # adjacency is disabled (config spmm_backend)
+        g = batch.graph.with_dense_adj()
         x = batch.graph.nodes
         block_out = []
         x = knn.GraphDense(self.hidden)(x, g)

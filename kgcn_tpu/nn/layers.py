@@ -165,6 +165,8 @@ class GAT(nn.Module):
             x.dtype
         )
         V = graph.total_nodes
+        if graph.dense_adj is not None:
+            return self._dense(x, graph, a)
         outs = []
         edge_mask = graph.edge_mask()
         for c in range(self.channels):
@@ -188,6 +190,41 @@ class GAT(nn.Module):
             agg = segment.segment_sum(alpha.astype(x.dtype)[:, None] * xs, r, V)
             outs.append(jax.nn.sigmoid(agg))
         return sum(outs)
+
+    def _dense(self, x, graph: GraphBatch, a):
+        """Dense-MXU attention for small padded graphs (N ≤ ~256).
+
+        The edge logit/softmax/aggregation runs on the full [B, N, N] grid
+        masked by the adjacency — three batched matmuls on the MXU instead
+        of gather/scatter chains, the same trade GraphConv's dense path
+        makes.  Bit-equivalent to the COO path (tests/test_layers.py)."""
+        F = x.shape[-1]
+        B, N = graph.n_graph, graph.max_nodes
+        xb = x.reshape(B, N, F)
+        neg = jnp.float32(-1e30)
+        out = jnp.zeros((B, N, F), x.dtype)
+        for c in range(self.channels):
+            adj = graph.dense_adj[c]          # [B, N, N], out[r] = Σ_s A[r,s]·
+            mask = (adj != 0)
+            ls = (xb @ a[c, :F, 0]).astype(jnp.float32)   # sender score [B,N]
+            lr = (xb @ a[c, F:, 0]).astype(jnp.float32)   # receiver score
+            logit = nn.leaky_relu(
+                ls[:, None, :] + lr[:, :, None], negative_slope=0.2
+            )                                  # [B, r, s]
+            logit = jnp.where(mask, logit, neg)
+            if self.normalize == "receiver":
+                m = jnp.maximum(jnp.max(logit, axis=-1, keepdims=True), neg)
+                e = jnp.exp(logit - m) * mask
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+                alpha = e / jnp.where(denom == 0, 1.0, denom)
+            else:  # reference's sender-gathered denominator
+                e = jnp.exp(logit) * mask
+                denom = jnp.sum(e, axis=-1)   # per-receiver sums [B, N]
+                alpha = e / (denom[:, None, :] + 1e-10)
+            out = out + jax.nn.sigmoid(
+                jnp.einsum("brs,bsf->brf", alpha.astype(x.dtype), xb)
+            )
+        return out.reshape(graph.total_nodes, F)
 
 
 class GraphMaxPooling(nn.Module):

@@ -212,3 +212,33 @@ def test_node_embedding():
     layer = knn.NodeEmbedding(vocab_size=5, features=6)
     params, out = _init_apply(layer, gb)
     assert np.asarray(out).shape == (8, 6)
+
+
+@pytest.mark.parametrize("normalize", ["receiver", "sender"])
+def test_gat_dense_path_matches_coo(normalize):
+    """The dense [B,N,N] MXU attention grid must equal the edge-list
+    segment path for both softmax normalizations."""
+    from tests.test_graph_batch import _toy_batch
+    from kgcn_tpu import nn as knn
+
+    gb, _, feats = _toy_batch(seed=3, B=3, N=5, F=4, C=2)
+    x = jnp.asarray(feats.reshape(-1, feats.shape[-1]))
+    layer = knn.GAT(channels=2, normalize=normalize)
+    params = layer.init(jax.random.PRNGKey(0), x, gb)
+    out_coo = layer.apply(params, x, gb)
+    out_dense = layer.apply(params, x, gb.with_dense_adj())
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_coo), rtol=2e-5, atol=2e-5
+    )
+    # gradients agree too (both paths train identically)
+    def loss(p, g):
+        return jnp.sum(layer.apply(p, x, g) ** 2)
+
+    g1 = jax.grad(loss)(params, gb)
+    g2 = jax.grad(loss)(params, gb.with_dense_adj())
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        ),
+        g1, g2,
+    )
