@@ -206,6 +206,64 @@ def bench_resident_epoch(B=256, N=64, F=32, n_graphs=2048, epochs=20, seed=0):
     }
 
 
+def bench_gat(B=256, N=64, F=50, iters=500, seed=0):
+    """Dense-MXU GAT model train step (graphs/s) — the attention workload."""
+    import jax
+    from jax import lax
+    import optax
+
+    from kgcn_tpu.data import Batcher, build_dataset
+    from kgcn_tpu.data.synthetic import make_random_graphs
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.config import default_config
+    from kgcn_tpu.runtime.train import Trainer
+
+    cfg = default_config()
+    cfg.update({"task": "classification", "learning_rate": 1e-3})
+    data = make_random_graphs(B, N, F, avg_degree=6, seed=seed)
+    ds, info = build_dataset(data, cfg)
+    batch = Batcher(ds, info, B, seed=seed).make_batch(np.arange(B))
+    model = build_model("gat", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    state = trainer.init_state(batch, seed=0)
+    tx = trainer.tx
+
+    def one(st):
+        def loss_fn(p, bs):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": bs}, batch, train=True,
+                rngs={"dropout": jax.random.fold_in(st.rng, st.step)},
+                mutable=["batch_stats"],
+            )
+            return out.cost_opt, upd.get("batch_stats", bs)
+
+        grads, bs = jax.grad(loss_fn, has_aux=True)(st.params, st.batch_stats)
+        updates, opt = tx.update(grads, st.opt_state, st.params)
+        return st.replace(
+            params=optax.apply_updates(st.params, updates),
+            batch_stats=bs, opt_state=opt, step=st.step + 1,
+        )
+
+    looped = jax.jit(lambda s, n: lax.fori_loop(0, n, lambda i, st: one(st), s))
+    s2 = looped(state, 2)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+    s2 = looped(s2, 2)  # settle
+    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+    t0 = time.perf_counter()
+    s3 = looped(s2, iters)
+    jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
+    dt = (time.perf_counter() - t0) / iters
+    return {"gat_train_step_s": dt, "gat_train_graphs_per_s": B / dt}
+
+
+def bench_kg(V=50_000, E=500_000, dim=128):
+    """Sharded big-graph KG train step (triples/s) on the current devices."""
+    from kgcn_tpu.tools.bench_scaling import bench_kg_step
+
+    tps = bench_kg_step(1, V, E, dim, "ring", encoder="embedding", iters=10)
+    return {"kg_step_triples_per_s": tps}
+
+
 def main():
     # pay the tunnel's one-time device->host channel cost outside the timers
     import jax
@@ -218,6 +276,8 @@ def main():
     train["train_step_s_bf16"] = train_bf16["train_step_s"]
     train["train_graphs_per_s_bf16"] = train_bf16["train_graphs_per_s"]
     train.update(bench_resident_epoch())
+    train.update(bench_gat())
+    train.update(bench_kg())
     best = max(
         agg["dense_mxu_edges_per_s"],
         agg["dense_mxu_bf16_edges_per_s"],

@@ -14,6 +14,9 @@ same JSON config:
 * ``gradient_clip``:  global-norm clip (prepended to the chain)
 * ``weight_decay``:   decoupled weight decay (adamw/lamb take it natively;
                       other optimizers get ``optax.add_decayed_weights``)
+* ``grad_accum_steps``: accumulate N micro-batch gradients before applying
+                      one optimizer update (``optax.MultiSteps``) —
+                      N× the effective batch size at constant memory
 
 Everything returns a plain ``optax.GradientTransformation`` so every trainer
 (single-device, DP, TP, big-graph) can share it.
@@ -81,4 +84,8 @@ def make_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
     if wd:
         parts.append(optax.add_decayed_weights(wd))
     parts.append(opt)
-    return optax.chain(*parts) if len(parts) > 1 else parts[0]
+    tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    accum = int(config.get("grad_accum_steps") or 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx

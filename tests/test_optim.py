@@ -93,3 +93,20 @@ def test_trainer_uses_configured_optimizer():
         state, cost, _, _ = trainer.run_epoch(state, b, shuffle=True, epoch=ep)
         costs.append(cost)
     assert np.all(np.isfinite(costs))
+
+
+def test_grad_accum_matches_big_batch_sgd():
+    """N accumulated micro-batches == one update on the averaged gradient."""
+    tx = make_optimizer({"optimizer": "sgd", "learning_rate": 0.1,
+                         "grad_accum_steps": 2})
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g1 = {"w": jnp.array([1.0, 2.0, 3.0])}
+    g2 = {"w": jnp.array([3.0, 2.0, 1.0])}
+    updates, state = tx.update(g1, state, params)
+    mid = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(mid["w"]), 1.0)  # no update yet
+    updates, state = tx.update(g2, state, mid)
+    final = optax.apply_updates(mid, updates)
+    # mean grad = [2, 2, 2] → w = 1 - 0.1·2
+    np.testing.assert_allclose(np.asarray(final["w"]), 0.8, rtol=1e-6)
