@@ -102,3 +102,41 @@ def test_chem_featurizer_pure_parts():
 
 def test_chem_cli_requires_rdkit(tmp_path):
     pytest.importorskip("rdkit", reason="RDKit not in this image")
+
+
+def test_chem_summary_smiles_and_jbl(tmp_path, capsys):
+    """kgcn-tpu-chem-summary: reference chem_summary.py:28-122 semantics,
+    RDKit-free fallback + the extra .jbl mode."""
+    from kgcn_tpu.cli.chem_summary import main, smiles_atoms, summarize_mols
+
+    # tokenizer: organic subset, aromatics, brackets, two-letter elements
+    assert len(smiles_atoms("CCO")) == 3
+    assert len(smiles_atoms("c1ccccc1")) == 6
+    assert len(smiles_atoms("[Na+].[Cl-]")) == 2
+    assert len(smiles_atoms("C[Si](C)(C)Cl")) == 5
+    assert len(smiles_atoms("CC(=O)Oc1ccccc1C(=O)O")) == 13
+
+    smi = tmp_path / "mols.smi"
+    smi.write_text("CCO ethanol\nc1ccccc1 benzene\nCC(=O)O acetic\n")
+    info = summarize_mols(str(smi), "smiles", bins=3)
+    assert info["size"] == 3
+    assert info["max_atom_num"] == 6
+    assert info["min_atom_num"] == 3
+    out = capsys.readouterr().out
+    assert "Histgram (atom number)" in out  # reference's exact header
+
+    # SDF fallback reads the V2000 counts line
+    sdf = tmp_path / "m.sdf"
+    sdf.write_text(
+        "mol\n  prog\n\n  2  1  0  0  0  0  0  0  0  0999 V2000\n"
+        "    0.0000    0.0000    0.0000 C   0  0\n"
+        "    0.0000    0.0000    0.0000 O   0  0\n"
+        "  1  2  1  0\nM  END\n$$$$\n"
+    )
+    info = summarize_mols(str(sdf), "sdf", bins=2)
+    assert info["size"] == 1 and info["max_atom_num"] == 2
+
+    # .jbl dataset mode
+    main(["-p", "example_jbl/synthetic.jbl"])
+    out = capsys.readouterr().out
+    assert "Dataset size: 200" in out
