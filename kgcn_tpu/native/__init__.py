@@ -110,3 +110,78 @@ def crc32c(data: bytes) -> int:
         return py_crc(data)
     buf = np.frombuffer(data, np.uint8)
     return int(lib.crc32c_native(_ptr(np.ascontiguousarray(buf)), len(buf)))
+
+
+def _register_tfrecord(lib) -> bool:
+    if getattr(lib, "_tfrecord_registered", False):
+        return True
+    if not hasattr(lib, "tfrecord_num_records"):
+        return False
+    lib.tfrecord_num_records.restype = ctypes.c_int64
+    lib.tfrecord_num_records.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int
+    ]
+    lib.tfrecord_count.restype = ctypes.c_int64
+    lib.tfrecord_count.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.tfrecord_extract.restype = ctypes.c_int64
+    lib.tfrecord_extract.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib._tfrecord_registered = True
+    return True
+
+
+def parse_tfrecord_arrays(path: str, keys, verify_crc: bool = True):
+    """Parse every record of a TFRecord file in native code.
+
+    Returns ``{key: (values, offsets)}`` where ``values`` is one flat
+    float32/int64 array over ALL records and ``offsets`` is ``[n_records+1]``
+    prefix sums — record ``i``'s values are ``values[offsets[i]:offsets[i+1]]``.
+    Keys absent from the file map to empty arrays.  Returns None when the
+    native library is unavailable (callers fall back to the Python codec).
+    """
+    lib = _load(build_if_missing=True)
+    if lib is None or not _register_tfrecord(lib):
+        return None
+    with open(path, "rb") as f:
+        buf = np.frombuffer(f.read(), np.uint8)
+    if buf.size == 0:
+        return {k: (np.empty(0, np.float32), np.zeros(1, np.int64)) for k in keys}
+    keys = list(keys)
+    key_blob = "".join(keys).encode()
+    key_lens = np.asarray([len(k.encode()) for k in keys], np.int32)
+    nk = len(keys)
+    key_types = np.zeros(nk, np.int32)
+    n = lib.tfrecord_num_records(_ptr(buf), buf.size, 1 if verify_crc else 0)
+    if n < 0:
+        raise ValueError(f"malformed TFRecord file {path} (code {n})")
+    counts = np.zeros((n, nk), np.int64)
+    rc = lib.tfrecord_count(
+        _ptr(buf), buf.size, 0, key_blob, _ptr(key_lens), nk,
+        _ptr(key_types), _ptr(counts),
+    )
+    if rc < 0:
+        raise ValueError(f"malformed Example proto in {path} (code {rc})")
+    offsets = np.zeros((nk, n + 1), np.int64)
+    np.cumsum(counts.T, axis=1, out=offsets[:, 1:])
+    out_arrays = []
+    for k in range(nk):
+        total = int(offsets[k, -1])
+        dt = np.int64 if key_types[k] == 3 else np.float32
+        out_arrays.append(np.empty(total, dt))
+    ptrs = (ctypes.c_void_p * nk)(*[int(a.ctypes.data) for a in out_arrays])
+    rc = lib.tfrecord_extract(
+        _ptr(buf), buf.size, key_blob, _ptr(key_lens), nk,
+        _ptr(key_types), _ptr(np.ascontiguousarray(offsets)), ptrs,
+    )
+    if rc < 0:
+        raise ValueError(f"malformed Example proto in {path} (code {rc})")
+    return {
+        keys[k]: (out_arrays[k], offsets[k]) for k in range(nk)
+    }

@@ -74,3 +74,109 @@ def test_gather_pad_features():
     np.testing.assert_array_equal(out[1], feats[0])
     np.testing.assert_array_equal(out[2], feats[2])
     assert (out[3:] == 0).all()
+
+
+def _make_tfrecord(tmp_path, n_rec=20, seed=0):
+    from kgcn_tpu.data import tfrecord as tfr
+
+    rng = np.random.RandomState(seed)
+    recs = []
+    for _ in range(n_rec):
+        n = rng.randint(3, 20)
+        adj = (rng.rand(n, n) < 0.3).astype(np.float32)
+        adj[0, 1] = adj[1, 0] = 1.0  # at least one edge
+        feat = rng.standard_normal((n, 5)).astype(np.float32)
+        label = np.zeros(3, np.float32)
+        label[rng.randint(3)] = 1
+        recs.append(tfr.example_from_graph(adj, feat, label=label))
+    path = str(tmp_path / "t.tfrecords")
+    tfr.write_tfrecord(path, recs)
+    return path
+
+
+def test_native_tfrecord_parse_matches_python_codec(tmp_path):
+    """C++ parser (native/tfrecord.cpp) is bit-exact vs the Python codec,
+    including CRC32C verification and packed varint/float decoding."""
+    from kgcn_tpu.data import tfrecord as tfr
+
+    if not native.available():
+        pytest.skip("native library not built")
+    path = _make_tfrecord(tmp_path)
+    res = native.parse_tfrecord_arrays(path, tfr._SCHEMA_KEYS)
+    if res is None:
+        pytest.skip("tfrecord symbols missing from built library")
+    i = 0
+    for payload in tfr.read_tfrecord(path, verify_crc=True):
+        ex = tfr.parse_example(payload)
+        for k in tfr._SCHEMA_KEYS:
+            if k not in ex:
+                continue
+            vals, off = res[k]
+            got = vals[off[i]:off[i + 1]]
+            assert got.dtype == ex[k].dtype
+            np.testing.assert_array_equal(got, ex[k], err_msg=f"{k}[{i}]")
+        i += 1
+    assert i == 20
+
+
+def test_native_tfrecord_negative_int64(tmp_path):
+    """Negative int64 values round-trip through the 10-byte varint path."""
+    from kgcn_tpu.data import tfrecord as tfr
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rec = tfr.build_example({
+        "vals": np.asarray([-1, -(2**40), 0, 7, 2**50], np.int64),
+        "f": np.asarray([1.5, -2.25], np.float32),
+    })
+    path = str(tmp_path / "neg.tfrecords")
+    tfr.write_tfrecord(path, [rec])
+    res = native.parse_tfrecord_arrays(path, ["vals", "f"])
+    if res is None:
+        pytest.skip("tfrecord symbols missing from built library")
+    np.testing.assert_array_equal(
+        res["vals"][0], np.asarray([-1, -(2**40), 0, 7, 2**50], np.int64)
+    )
+    np.testing.assert_array_equal(
+        res["f"][0], np.asarray([1.5, -2.25], np.float32)
+    )
+
+
+def test_native_tfrecord_detects_corruption(tmp_path):
+    from kgcn_tpu.data import tfrecord as tfr
+
+    if not native.available():
+        pytest.skip("native library not built")
+    path = _make_tfrecord(tmp_path, n_rec=3)
+    raw = bytearray(open(path, "rb").read())
+    raw[30] ^= 0xFF  # flip a payload byte
+    bad = str(tmp_path / "bad.tfrecords")
+    open(bad, "wb").write(bytes(raw))
+    if native.parse_tfrecord_arrays(path, ["size"]) is None:
+        pytest.skip("tfrecord symbols missing from built library")
+    with pytest.raises(ValueError):
+        native.parse_tfrecord_arrays(bad, ["size"])
+
+
+def test_load_tfrecord_dataset_native_equals_python(tmp_path):
+    from kgcn_tpu import native as nat
+    from kgcn_tpu.data import tfrecord as tfr
+
+    path = _make_tfrecord(tmp_path)
+    ds_n, info_n = tfr.load_tfrecord_dataset(path)
+    orig = nat.parse_tfrecord_arrays
+    nat.parse_tfrecord_arrays = lambda *a, **k: None  # force Python codec
+    try:
+        ds_p, info_p = tfr.load_tfrecord_dataset(path)
+    finally:
+        nat.parse_tfrecord_arrays = orig
+    np.testing.assert_array_equal(ds_n.features, ds_p.features)
+    np.testing.assert_array_equal(np.asarray(ds_n.labels),
+                                  np.asarray(ds_p.labels))
+    np.testing.assert_array_equal(ds_n.enabled_node_nums,
+                                  ds_p.enabled_node_nums)
+    assert info_n.feature_dim == info_p.feature_dim
+    for a, b in zip(ds_n.adjs, ds_p.adjs):
+        for c1, c2 in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
+            np.testing.assert_allclose(np.asarray(c1[1]), np.asarray(c2[1]))
