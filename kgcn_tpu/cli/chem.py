@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--atom-num-limit", type=int, default=50)
     p.add_argument("--deepchem-compat", action="store_true",
                    help="75-dim deepchem featuriser mode")
+    p.add_argument("--use-electronegativity", action="store_true",
+                   help="append Pauling electronegativity to atom features")
+    p.add_argument("--use-gasteiger", action="store_true",
+                   help="append Gasteiger partial charge to atom features")
     p.add_argument("--morgan-fingerprint", action="store_true")
     p.add_argument("--sequence", default=None,
                    help="protein sequence file (CPI multimodal), one/line")
@@ -91,6 +95,8 @@ def main(argv=None):
         labels=labels,
         atom_num_limit=args.atom_num_limit,
         deepchem_compat=args.deepchem_compat,
+        use_electronegativity=args.use_electronegativity,
+        use_gasteiger=args.use_gasteiger,
         with_fingerprint=args.morgan_fingerprint,
         sequences=sequences,
         sequence_symbol_num=symbol_num,

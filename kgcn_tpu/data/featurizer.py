@@ -28,6 +28,24 @@ VALENCE_SET = [0, 1, 2, 3, 4, 5, 6]
 NUM_H_SET = [0, 1, 2, 3, 4]
 FEATURE_DIM = len(ATOM_LIST) + DEGREE_DIM + len(VALENCE_SET) + 2 + 5 + 1 + len(NUM_H_SET)  # 81
 
+# Pauling electronegativity indexed by atomic number (index 0 = H); elements
+# without a tabulated value (noble gases, heavy actinides) carry 0.0.  The
+# reference loads the same per-atomic-number table and indexes it with
+# ``en_list[atom.GetAtomicNum() - 1]`` (kgcn/preprocessing/utils.py:44-45).
+PAULING_EN = np.array([
+    2.20, 0.00,                                                  # H He
+    0.98, 1.57, 2.04, 2.55, 3.04, 3.44, 3.98, 0.00,              # Li..Ne
+    0.93, 1.31, 1.61, 1.90, 2.19, 2.58, 3.16, 0.00,              # Na..Ar
+    0.82, 1.00, 1.36, 1.54, 1.63, 1.66, 1.55, 1.83, 1.88, 1.91,  # K..Ni
+    1.90, 1.65, 1.81, 2.01, 2.18, 2.55, 2.96, 3.00,              # Cu..Kr
+    0.82, 0.95, 1.22, 1.33, 1.60, 2.16, 1.90, 2.20, 2.28, 2.20,  # Rb..Pd
+    1.93, 1.69, 1.78, 1.96, 2.05, 2.10, 2.66, 2.60,              # Ag..Xe
+    0.79, 0.89, 1.10, 1.12, 1.13, 1.14, 1.13, 1.17, 1.20, 1.20,  # Cs..Gd
+    1.10, 1.22, 1.23, 1.24, 1.25, 1.10, 1.27,                    # Tb..Lu
+    1.30, 1.50, 2.36, 1.90, 2.20, 2.20, 2.28, 2.54,              # Hf..Au
+    2.00, 1.62, 2.33, 2.02, 2.00, 2.20, 0.00,                    # Hg..At (Rn=0)
+], dtype=np.float32)
+
 
 def _require_rdkit():
     try:
@@ -51,8 +69,18 @@ def one_of_k(x, allowable: Sequence, unk: bool = True) -> List[bool]:
     return [x == s for s in allowable]
 
 
-def atom_features(atom, degree_dim: int = DEGREE_DIM) -> np.ndarray:
-    """Default 81-dim feature vector (kgcn/preprocessing/utils.py:20-56)."""
+def atom_features(atom, degree_dim: int = DEGREE_DIM, *,
+                  use_electronegativity: bool = False,
+                  use_gasteiger: bool = False) -> np.ndarray:
+    """Default 81-dim feature vector (kgcn/preprocessing/utils.py:20-56).
+
+    Optional scalar extensions match the reference's insertion point — after
+    the aromatic flag, before the numH one-hot (utils.py:44-51):
+    ``use_electronegativity`` appends the element's Pauling EN;
+    ``use_gasteiger`` appends the precomputed ``_GasteigerCharge`` property
+    (NaN/inf → 0, "because the mean is 0").  SYBYL/GAFF atom typing is out of
+    scope — it needs oddt/openbabel even in the reference (utils.py:4,59-61).
+    """
     from rdkit import Chem
 
     hyb = [
@@ -69,8 +97,16 @@ def atom_features(atom, degree_dim: int = DEGREE_DIM) -> np.ndarray:
         + [atom.GetFormalCharge(), atom.GetNumRadicalElectrons()]
         + one_of_k(atom.GetHybridization(), hyb)
         + [atom.GetIsAromatic()]
-        + one_of_k(atom.GetTotalNumHs(), NUM_H_SET)
     )
+    if use_electronegativity:
+        z = atom.GetAtomicNum()
+        feats = feats + [float(PAULING_EN[z - 1]) if 0 < z <= len(PAULING_EN) else 0.0]
+    if use_gasteiger:
+        g = float(atom.GetDoubleProp("_GasteigerCharge"))
+        if not np.isfinite(g):
+            g = 0.0
+        feats = feats + [g]
+    feats = feats + one_of_k(atom.GetTotalNumHs(), NUM_H_SET)
     return np.array(feats, dtype=np.float32)
 
 
@@ -83,13 +119,23 @@ def adjacency_matrix(mol) -> np.ndarray:
     return adj
 
 
-def mol_to_graph(mol, atom_num_limit: int, deepchem_compat: bool = False):
+def mol_to_graph(mol, atom_num_limit: int, deepchem_compat: bool = False, *,
+                 use_electronegativity: bool = False,
+                 use_gasteiger: bool = False):
     """One molecule → (padded feature [N, F], adjacency dense [n, n]) or None
     if it exceeds the atom limit (kgcn/preprocessing/chem.py atom filter)."""
     n = mol.GetNumAtoms()
     if n > atom_num_limit:
         return None
-    feats = np.stack([atom_features(a) for a in mol.GetAtoms()])
+    if use_gasteiger:
+        from rdkit.Chem.rdPartialCharges import ComputeGasteigerCharges
+
+        ComputeGasteigerCharges(mol)
+    feats = np.stack([
+        atom_features(a, use_electronegativity=use_electronegativity,
+                      use_gasteiger=use_gasteiger)
+        for a in mol.GetAtoms()
+    ])
     if deepchem_compat:
         # 75-dim deepchem mode: degree one-hot truncated to 11, drop
         # charge/radical slots (chem.py:554-558)
@@ -134,6 +180,8 @@ def build_chem_dataset(
     atom_num_limit: int = 50,
     *,
     deepchem_compat: bool = False,
+    use_electronegativity: bool = False,
+    use_gasteiger: bool = False,
     with_fingerprint: bool = False,
     sequences: Optional[np.ndarray] = None,
     sequence_symbol_num: Optional[int] = None,
@@ -154,7 +202,9 @@ def build_chem_dataset(
             Chem.SanitizeMol(mol, catchErrors=True)
         except Exception:
             pass
-        out = mol_to_graph(mol, atom_num_limit, deepchem_compat)
+        out = mol_to_graph(mol, atom_num_limit, deepchem_compat,
+                           use_electronegativity=use_electronegativity,
+                           use_gasteiger=use_gasteiger)
         if out is None:
             continue
         f, a = out
@@ -165,7 +215,9 @@ def build_chem_dataset(
     n = len(keep)
     max_n = atom_num_limit
     data = {
-        "feature": np.stack(feats) if n else np.zeros((0, max_n, FEATURE_DIM)),
+        "feature": np.stack(feats) if n else np.zeros(
+            (0, max_n,
+             FEATURE_DIM + int(use_electronegativity) + int(use_gasteiger))),
         "adj": [
             (
                 np.stack(np.nonzero(a), axis=1).astype(np.int32),

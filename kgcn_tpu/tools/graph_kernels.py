@@ -111,6 +111,59 @@ def shortest_path_kernel(graphs: Sequence[Graph], normalize: bool = True,
     return K
 
 
+AttributedGraph = Tuple[np.ndarray, np.ndarray]  # (adjacency, node attrs [n,d])
+
+
+def _lsh_labels(attrs: np.ndarray, bin_width: float, sigma: float,
+                rng: np.random.Generator) -> np.ndarray:
+    """Locally-sensitive hash of continuous node attributes into discrete
+    labels: random Gaussian projection, offset, bin by ``bin_width``, then
+    encode each binned row as one integer (reference:
+    graphkernel/hash_graph_kernel.py:44 `locally_sensitive_hashing`)."""
+    d = attrs.shape[1]
+    W = rng.normal(0.0, sigma, size=(d, d))
+    b = rng.uniform(0.0, bin_width, size=(d,))
+    bins = np.floor((attrs @ W + b) / bin_width).astype(np.int64)
+    _, labels = np.unique(bins, axis=0, return_inverse=True)
+    return labels
+
+
+def hash_graph_kernel(graphs: Sequence[AttributedGraph], iterations: int = 20,
+                      wl_iterations: int = 2, lsh_bin_width: float = 1.0,
+                      sigma: float = 1.0, normalize: bool = True,
+                      scale_attributes: bool = True, seed: int = 0) -> np.ndarray:
+    """Hash graph kernel for continuous node attributes (Morris et al.;
+    reference: graphkernel/hash_graph_kernel.py:13-72).  Each iteration
+    LSH-hashes the attributes into discrete labels and runs the WL-subtree
+    base kernel on them; feature vectors are stacked across iterations and
+    scaled by sqrt(1/iterations) before the gram product."""
+    rng = np.random.default_rng(seed)
+    all_attrs = np.concatenate([np.asarray(a, np.float64) for _, a in graphs])
+    if scale_attributes and all_attrs.shape[1] > 0:
+        mu = all_attrs.mean(axis=0)
+        sd = all_attrs.std(axis=0)
+        sd[sd == 0] = 1.0
+    else:
+        mu, sd = 0.0, 1.0
+
+    sizes = [len(a) for _, a in graphs]
+    offsets = np.cumsum([0] + sizes)
+    blocks = []
+    for _ in range(iterations):
+        hashed = _lsh_labels((all_attrs - mu) / sd, lsh_bin_width, sigma, rng)
+        labeled = [
+            (adj, hashed[offsets[i]:offsets[i + 1]])
+            for i, (adj, _) in enumerate(graphs)
+        ]
+        blocks.append(wl_subtree_features(labeled, iterations=wl_iterations))
+    phi = sp.hstack(blocks).tocsr() * np.sqrt(1.0 / iterations)
+    K = np.asarray((phi @ phi.T).todense(), dtype=np.float64)
+    if normalize:
+        dg = np.sqrt(np.clip(np.diag(K), 1e-12, None))
+        K = K / dg[:, None] / dg[None, :]
+    return K
+
+
 def kernel_svm_cv(K: np.ndarray, y: np.ndarray, folds: int = 5,
                   C: float = 1.0, seed: int = 0):
     """Gram-matrix SVM cross-validation (reference: graph_kernel/gk.py)."""
@@ -125,6 +178,27 @@ def kernel_svm_cv(K: np.ndarray, y: np.ndarray, folds: int = 5,
         clf.fit(K[np.ix_(tr, tr)], y[tr])
         accs.append(clf.score(K[np.ix_(te, tr)], y[te]))
     return float(np.mean(accs)), float(np.std(accs))
+
+
+def kernel_ridge_cv(K: np.ndarray, y: np.ndarray, folds: int = 5,
+                    alpha: float = 1.0, seed: int = 0):
+    """Gram-matrix kernel-ridge regression CV — the reference's regression
+    criterion (graph_kernel/gk.py:10,35).  Returns (mse_mean, mse_std,
+    r2_mean)."""
+    from sklearn.kernel_ridge import KernelRidge
+    from sklearn.metrics import mean_squared_error, r2_score
+    from sklearn.model_selection import KFold
+
+    y = np.asarray(y, np.float64)
+    kf = KFold(n_splits=folds, shuffle=True, random_state=seed)
+    mses, r2s = [], []
+    for tr, te in kf.split(K):
+        reg = KernelRidge(kernel="precomputed", alpha=alpha)
+        reg.fit(K[np.ix_(tr, tr)], y[tr])
+        pred = reg.predict(K[np.ix_(te, tr)])
+        mses.append(mean_squared_error(y[te], pred))
+        r2s.append(r2_score(y[te], pred))
+    return float(np.mean(mses)), float(np.std(mses)), float(np.mean(r2s))
 
 
 def dataset_to_kernel_graphs(ds) -> List[Graph]:
@@ -147,4 +221,22 @@ def dataset_to_kernel_graphs(ds) -> List[Graph]:
             else np.zeros(n, np.int64)
         )
         graphs.append((dense, lab))
+    return graphs
+
+
+def dataset_to_attributed_graphs(ds) -> List[AttributedGraph]:
+    """Like :func:`dataset_to_kernel_graphs` but keeps the continuous node
+    feature rows (for the hash kernel)."""
+    out = []
+    for dense, _ in dataset_to_kernel_graphs(ds):
+        out.append(dense)
+    graphs = []
+    for g, dense in enumerate(out):
+        n = len(dense)
+        attrs = (
+            np.asarray(ds.features[g][:n], np.float64)
+            if ds.features is not None
+            else np.zeros((n, 1), np.float64)
+        )
+        graphs.append((dense, attrs))
     return graphs

@@ -140,3 +140,74 @@ def test_chem_summary_smiles_and_jbl(tmp_path, capsys):
     main(["-p", "example_jbl/synthetic.jbl"])
     out = capsys.readouterr().out
     assert "Dataset size: 200" in out
+
+
+def test_atom_feature_extras_with_stub_rdkit(monkeypatch):
+    """Electronegativity/Gasteiger extras: insertion point (after aromatic,
+    before numH — utils.py:44-51), Pauling lookup by atomic number, and
+    NaN-gasteiger → 0."""
+    import sys
+    import types
+
+    import numpy as np
+
+    hyb = types.SimpleNamespace(SP="SP", SP2="SP2", SP3="SP3",
+                                SP3D="SP3D", SP3D2="SP3D2")
+    chem = types.SimpleNamespace(rdchem=types.SimpleNamespace(
+        HybridizationType=hyb))
+    rdkit = types.ModuleType("rdkit")
+    rdkit.Chem = chem
+    monkeypatch.setitem(sys.modules, "rdkit", rdkit)
+    monkeypatch.setitem(sys.modules, "rdkit.Chem", chem)
+
+    class FakeAtom:
+        def __init__(self, gasteiger):
+            self._g = gasteiger
+
+        def GetSymbol(self):
+            return "N"
+
+        def GetDegree(self):
+            return 2
+
+        def GetImplicitValence(self):
+            return 1
+
+        def GetFormalCharge(self):
+            return 0
+
+        def GetNumRadicalElectrons(self):
+            return 0
+
+        def GetHybridization(self):
+            return "SP2"
+
+        def GetIsAromatic(self):
+            return True
+
+        def GetTotalNumHs(self):
+            return 1
+
+        def GetAtomicNum(self):
+            return 7  # nitrogen
+
+        def GetDoubleProp(self, name):
+            assert name == "_GasteigerCharge"
+            return self._g
+
+    from kgcn_tpu.data.featurizer import FEATURE_DIM, PAULING_EN, atom_features
+
+    base = atom_features(FakeAtom(0.25))
+    assert base.shape == (FEATURE_DIM,)
+
+    both = atom_features(FakeAtom(0.25), use_electronegativity=True,
+                         use_gasteiger=True)
+    assert both.shape == (FEATURE_DIM + 2,)
+    # extras sit right before the 5-dim numH one-hot
+    assert both[-7] == np.float32(PAULING_EN[6])  # N = 3.04
+    assert both[-6] == np.float32(0.25)
+    np.testing.assert_array_equal(both[-5:], base[-5:])
+    np.testing.assert_array_equal(both[:-7], base[:-5])
+
+    nan_g = atom_features(FakeAtom(float("nan")), use_gasteiger=True)
+    assert nan_g[-6] == 0.0

@@ -103,3 +103,42 @@ def test_shortest_path_kernel():
     y = np.argmax(data["label"], axis=1)
     acc, _ = kernel_svm_cv(K, y, folds=3)
     assert acc > 0.8, f"SP-SVM acc={acc}"
+
+
+def test_hash_graph_kernel_separates_rings():
+    from kgcn_tpu.tools.graph_kernels import (
+        dataset_to_attributed_graphs,
+        hash_graph_kernel,
+        kernel_svm_cv,
+    )
+
+    data = make_ring_dataset(num_pairs=20, noise_p=0.0, seed=0)
+    ds, info = build_dataset(data, {})
+    graphs = dataset_to_attributed_graphs(ds)
+    K = hash_graph_kernel(graphs, iterations=8, wl_iterations=2, seed=0)
+    assert K.shape == (40, 40)
+    np.testing.assert_allclose(np.diag(K), 1.0, atol=1e-9)
+    np.testing.assert_allclose(K, K.T, atol=1e-12)
+    # deterministic under seed
+    K2 = hash_graph_kernel(graphs, iterations=8, wl_iterations=2, seed=0)
+    np.testing.assert_allclose(K, K2)
+    y = np.argmax(data["label"], axis=1)
+    acc, _ = kernel_svm_cv(K, y, folds=4)
+    assert acc > 0.8, f"hash-kernel SVM acc={acc}"
+
+
+def test_kernel_ridge_regression_cv():
+    from kgcn_tpu.tools.graph_kernels import (
+        dataset_to_kernel_graphs,
+        kernel_ridge_cv,
+        wl_kernel,
+    )
+
+    # regression target = ring size (5 vs 6), perfectly encoded by WL features
+    data = make_ring_dataset(num_pairs=20, noise_p=0.0, seed=1)
+    ds, info = build_dataset(data, {})
+    K = wl_kernel(dataset_to_kernel_graphs(ds), iterations=2)
+    y = np.argmax(data["label"], axis=1).astype(np.float64) + 5.0
+    mse, std, r2 = kernel_ridge_cv(K, y, folds=4, alpha=1e-3)
+    assert mse < 0.05, f"kernel-ridge mse={mse}"
+    assert r2 > 0.8, f"kernel-ridge r2={r2}"
