@@ -20,10 +20,26 @@ def _setup(config):
     from kgcn_tpu.runtime.train import Trainer
 
     ds, info = load_jbl(config["dataset"], config)
+    link_only = config.get("model") in ("gcn_vae_onlylink", "vae_onlylink")
+    pos_weight, norm = 1.0, 1.0
+    if link_only:
+        # per-dataset edge-density statistics (reference: gcn_gen.py:51-74)
+        num_all = float(ds.max_node_num) ** 2
+        pw, nm = [], []
+        for adj in ds.adjs:
+            for (_row, _col, val) in adj:
+                num_pos = float(len(val))
+                num_neg = num_all - num_pos
+                pw.append(num_neg / max(num_pos, 1.0))
+                nm.append(num_all / max(num_neg, 1.0) * 2.0)
+        pos_weight, norm = float(np.mean(pw)), float(np.mean(nm))
     model = GCNVAE(
         channels=info.adj_channel_num,
         feature_dim=info.feature_dim,
         latent_dim=int(config.get("latent_dim", 64)),
+        link_only=link_only,
+        pos_weight=pos_weight,
+        norm=norm,
     )
     trainer = Trainer(model, config, info)
     bs = int(config["batch_size"])

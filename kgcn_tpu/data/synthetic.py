@@ -71,6 +71,23 @@ def make_ring_dataset(
     }
 
 
+def make_pair_dataset(num_pairs: int = 60, num_nodes: int = 10,
+                      seed: int = 0) -> Dict:
+    """Preference-ranking dataset: ring graphs plus a ``graph_index_list``
+    of (worse, better) pairs — 5-rings (class 1) preferred over 6-rings —
+    for the pair engine (reference: gcn_pair.py + feed pairs)."""
+    data = make_ring_dataset(num_pairs=max(num_pairs // 2, 4),
+                             num_nodes=num_nodes, seed=seed)
+    y = np.argmax(data["label"], axis=1)
+    idx0 = np.nonzero(y == 0)[0]
+    idx1 = np.nonzero(y == 1)[0]
+    rng = np.random.RandomState(seed + 1)
+    pairs = np.stack([rng.choice(idx0, num_pairs),
+                      rng.choice(idx1, num_pairs)], axis=1)
+    data["graph_index_list"] = pairs.tolist()
+    return data
+
+
 def make_random_graphs(
     num_graphs: int,
     num_nodes: int,

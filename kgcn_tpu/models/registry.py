@@ -22,6 +22,7 @@ _REFERENCE_ALIASES = {
     "example_model.model_node_label:GCN": "gcn_node_label",
     "example_model.model_multimodal:GCN": "gcn_multimodal",
     "example_model.model_vae:VAE": "gcn_vae",
+    "example_model.model_vae_onlylink:VAE": "gcn_vae_onlylink",
     "example_model.model_multimodal_vec:GCN": "gcn_vector_modal",
     "example_model.model_multimodal_regression:GCN": "gcn_multimodal",
     "sample_kg.network_prediction.model_py.distmult:DistMult": "kg_distmult",
@@ -153,6 +154,22 @@ def _gcn_vae(info, config):
         channels=info.adj_channel_num,
         feature_dim=info.feature_dim,
         latent_dim=int(config.get("latent_dim", 64)),
+    )
+
+
+@register("gcn_vae_onlylink")
+def _gcn_vae_onlylink(info, config):
+    """Link-only VAE (model_vae_onlylink.py); the gen engine computes
+    pos_weight/norm from edge density, config overrides work too."""
+    from kgcn_tpu.models.vae import GCNVAE
+
+    return GCNVAE(
+        channels=info.adj_channel_num,
+        feature_dim=info.feature_dim,
+        latent_dim=int(config.get("latent_dim", 64)),
+        link_only=True,
+        pos_weight=float(config.get("pos_weight", 1.0)),
+        norm=float(config.get("norm", 1.0)),
     )
 
 

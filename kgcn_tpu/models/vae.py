@@ -30,13 +30,34 @@ def _bce(labels, logits):
     )
 
 
+def _weighted_bce(labels, logits, pos_weight):
+    """tf.nn.weighted_cross_entropy_with_logits, float32 accumulation."""
+    logits = logits.astype(jnp.float32)
+    log_weight = 1.0 + (pos_weight - 1.0) * labels
+    return (1.0 - labels) * logits + log_weight * (
+        jax.nn.softplus(-jnp.abs(logits)) + jnp.maximum(-logits, 0.0)
+    )
+
+
 class GCNVAE(nn.Module):
-    """Graph VAE with feature + link decoders."""
+    """Graph VAE with feature + link decoders.
+
+    ``link_only=True`` gives the reference's link-only variant
+    (example_model/model_vae_onlylink.py:155-235): no feature decoder,
+    pos_weight-weighted adjacency CE scaled by ``norm`` (both computed from
+    edge density by the engine, gcn_gen.py:51-74), its KL variant
+    ``(0.5/70)·mean_D(Σ_N 1 + 2logσ − z² − σ)`` and cost
+    ``|mean(cost) − mean(kl)|`` replicated verbatim; the prediction's
+    ``feature`` entry passes the input features through.
+    """
 
     channels: int = 1
     feature_dim: int = 0
     latent_dim: int = 64
     internal_dim: int = 64
+    link_only: bool = False
+    pos_weight: float = 1.0
+    norm: float = 1.0
 
     def setup(self):
         self.enc_conv1 = knn.GraphConv(self.internal_dim, self.channels)
@@ -50,9 +71,10 @@ class GCNVAE(nn.Module):
             kernel_init=nn.initializers.uniform(scale=0.05),
         )
         self.std_head = nn.Dense(self.latent_dim)
-        self.node_decoder = knn.GraphDense(
-            self.feature_dim, mask_output=False,
-        )
+        if not self.link_only:
+            self.node_decoder = knn.GraphDense(
+                self.feature_dim, mask_output=False,
+            )
         self.link_dense1 = [
             knn.GraphDense(self.internal_dim) for _ in range(self.channels)
         ]
@@ -82,7 +104,10 @@ class GCNVAE(nn.Module):
         adjacency logits [B,C,N,N])."""
         g = batch.graph
         B, N = g.n_graph, g.max_nodes
-        feat_logits = self.node_decoder(z, g).reshape(B, N, self.feature_dim)
+        feat_logits = (
+            None if self.link_only
+            else self.node_decoder(z, g).reshape(B, N, self.feature_dim)
+        )
         adjs = []
         for c in range(self.channels):
             h = jax.nn.sigmoid(
@@ -123,13 +148,25 @@ class GCNVAE(nn.Module):
         target_adj = jnp.transpose(g.with_dense_adj().dense_adj, (1, 0, 2, 3))
 
         pad = batch.pad_mask
-        cost_features = jnp.mean(_bce(target_feat, feat_logits), axis=2)  # [B,N]
-        cost_links = jnp.mean(_bce(target_adj, adj_logits), axis=(2, 3))  # [B,C]
-        cost = pad * (
-            jnp.mean(cost_features, axis=1) + jnp.mean(cost_links, axis=1)
-        )
-        cost_opt = jnp.mean(cost) + klqp
-        cost_sum = jnp.mean(cost)  # reference uses the mean here (model_vae.py:243)
+        if self.link_only:
+            # model_vae_onlylink.py:201-216: pos_weight CE on links only,
+            # norm scaling, KL over the sampled z, |cost − kl| objective
+            wce = _weighted_bce(target_adj, adj_logits, self.pos_weight)
+            cost = pad * (self.norm * jnp.mean(wce, axis=(1, 2, 3)))
+            z_b = z.reshape(B, N, self.latent_dim).astype(jnp.float32)
+            kl_el = 1.0 + 2.0 * jnp.log(std_t.astype(jnp.float32)) - z_b**2 \
+                - std_t.astype(jnp.float32)
+            kl = (0.5 / 70.0) * jnp.mean(jnp.sum(kl_el, axis=1), axis=1)
+            cost_opt = jnp.abs(jnp.mean(cost) - jnp.mean(kl))
+            cost_sum = jnp.mean(cost)
+        else:
+            cost_features = jnp.mean(_bce(target_feat, feat_logits), axis=2)  # [B,N]
+            cost_links = jnp.mean(_bce(target_adj, adj_logits), axis=(2, 3))  # [B,C]
+            cost = pad * (
+                jnp.mean(cost_features, axis=1) + jnp.mean(cost_links, axis=1)
+            )
+            cost_opt = jnp.mean(cost) + klqp
+            cost_sum = jnp.mean(cost)  # reference uses the mean here (model_vae.py:243)
 
         correct_exist = (
             (jnp.max(adj_logits, axis=1) > 0.0)
@@ -139,7 +176,9 @@ class GCNVAE(nn.Module):
         metrics = {"correct_count": jnp.sum(correct), "count": jnp.sum(pad)}
 
         prediction = {
-            "feature": jax.nn.sigmoid(feat_logits),
+            # link-only passes input features through (model_vae_onlylink.py:233)
+            "feature": (target_feat if self.link_only
+                        else jax.nn.sigmoid(feat_logits)),
             "dense_adj": jax.nn.sigmoid(adj_logits),
         }
         return ModelOutput(prediction, cost_opt, cost_sum, metrics)
@@ -151,7 +190,7 @@ class GCNVAE(nn.Module):
         B, N = g.n_graph, g.max_nodes
         z = batch.rng_normal.reshape(B * N, self.latent_dim)
         feat_logits, adj_logits = self.decode(z, batch, train)
-        return {
-            "feature": jax.nn.sigmoid(feat_logits),
-            "dense_adj": jax.nn.sigmoid(adj_logits),
-        }
+        out = {"dense_adj": jax.nn.sigmoid(adj_logits)}
+        if feat_logits is not None:
+            out["feature"] = jax.nn.sigmoid(feat_logits)
+        return out

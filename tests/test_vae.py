@@ -75,3 +75,22 @@ def test_vae_learns_reconstruction(vae_workdir):
         state, c, _, _ = trainer.run_epoch(state, b)
         costs.append(c)
     assert costs[-1] < costs[0]
+
+
+def test_vae_link_only(vae_workdir):
+    """Link-only variant (model_vae_onlylink.py): pos_weight/norm from edge
+    density, adjacency-only decode, feature passthrough prediction."""
+    from kgcn_tpu.cli.gen import cmd_generate, cmd_train
+    from kgcn_tpu.runtime.config import load_config
+
+    cfg = load_config(str(vae_workdir / "config.json"))
+    cfg["model"] = "gcn_vae_onlylink"
+    cfg["save_model_path"] = str(vae_workdir / "model_ol")
+    cfg["generation_output"] = str(vae_workdir / "result/gen_ol.jbl")
+    state, fit_info = cmd_train(cfg)
+    assert all(np.isfinite(h["training_cost"]) for h in fit_info["history"])
+
+    cmd_generate(cfg)
+    g = joblib.load(vae_workdir / "result/gen_ol.jbl")
+    assert "dense_adj" in g and "feature" not in g
+    assert g["dense_adj"].shape == (7, 1, 10, 10)
