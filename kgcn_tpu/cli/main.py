@@ -124,7 +124,7 @@ def _fit_once(config, train_ds, valid_ds, info, fold: Optional[int] = None,
             )
         vb = (
             ShardedBatcher(Batcher(valid_ds, info, bs), n_shards)
-            if valid_ds is not None
+            if valid_ds is not None and valid_ds.num > 0
             else None
         )
         state = trainer.init_state(

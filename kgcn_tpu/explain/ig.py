@@ -79,31 +79,51 @@ def _ig_core(apply_fn, variables, batch, scales, rngs, *, method, target,
     (shape, method, target); the reference pays 100 sess.run round trips
     per compound for the same quantity (kgcn/visualization.py:201-212)."""
     score_fn = make_target_score(target, label_index)
+    vm0 = batch.vector_modal  # tuple of [B, D_m] arrays, or None
 
-    def forward(nodes, edge_weights, b: Batch):
+    def forward(nodes, edge_weights, vm, b: Batch):
         g = b.graph.replace(nodes=nodes, edge_weights=edge_weights)
-        out = apply_fn(variables, b.replace(graph=g), train=False)
+        nb = b.replace(graph=g)
+        if vm is not None:
+            nb = nb.replace(vector_modal=vm)
+        out = apply_fn(variables, nb, train=False)
         return score_fn(out.prediction, b.labels)
 
-    grad_fn = jax.grad(forward, argnums=(0, 1))
+    # vector modalities are scaled AND differentiated alongside features and
+    # adjacency — the gradient path must see the same scaled inputs the
+    # completeness oracle evaluates, or sum(IG) can never match F(1)−F(0)
+    argnums = (0, 1, 2) if vm0 is not None else (0, 1)
+    grad_fn = jax.grad(forward, argnums=argnums)
     nodes0 = batch.graph.nodes
     ew0 = batch.graph.edge_weights
 
     def body(carry, inp):
         scale, key = inp
         nb = _scale_batch(batch, scale, key if noisy else None)
-        gn, ge = grad_fn(nb.graph.nodes, nb.graph.edge_weights, batch)
-        return (carry[0] + gn, carry[1] + ge), None
+        g = grad_fn(nb.graph.nodes, nb.graph.edge_weights,
+                    nb.vector_modal if vm0 is not None else None, batch)
+        return jax.tree_util.tree_map(jnp.add, carry, tuple(g)), None
 
     init = (jnp.zeros_like(nodes0), jnp.zeros_like(ew0))
-    (gsum_n, gsum_e), _ = jax.lax.scan(body, init, (scales, rngs))
+    if vm0 is not None:
+        init = init + (tuple(jnp.zeros_like(v) for v in vm0),)
+    gsum, _ = jax.lax.scan(body, init, (scales, rngs))
+    gsum_n, gsum_e = gsum[0], gsum[1]
+    gsum_vm = gsum[2] if vm0 is not None else None
     k = scales.shape[0]
     if method in ("ig", "grad_prod", "smooth_ig"):
         ig_nodes = (gsum_n / k) * nodes0
         ig_edges = (gsum_e / k) * ew0
+        ig_vm = (
+            tuple((gv / k) * v for gv, v in zip(gsum_vm, vm0))
+            if vm0 is not None else None
+        )
     else:  # pure gradients
         ig_nodes = gsum_n / k
         ig_edges = gsum_e / k
+        ig_vm = (
+            tuple(gv / k for gv in gsum_vm) if vm0 is not None else None
+        )
 
     # completeness: F(1) - F(0)  (kgcn/visualization.py:279-287)
     def f_at(scale):
@@ -113,7 +133,10 @@ def _ig_core(apply_fn, variables, batch, scales, rngs, *, method, target,
 
     check_score = f_at(1.0) - f_at(0.0)
     sum_of_ig = jnp.sum(ig_nodes) + jnp.sum(ig_edges)
-    return ig_nodes, ig_edges, check_score, sum_of_ig
+    if ig_vm is not None:
+        for v in ig_vm:
+            sum_of_ig = sum_of_ig + jnp.sum(v)
+    return ig_nodes, ig_edges, ig_vm, check_score, sum_of_ig
 
 
 def integrated_gradients(
@@ -150,12 +173,15 @@ def integrated_gradients(
         else jnp.zeros((len(scales), 2), jnp.uint32)
     )
 
-    ig_nodes, ig_edges, check_score, sum_of_ig = _ig_core(
+    ig_nodes, ig_edges, ig_vm, check_score, sum_of_ig = _ig_core(
         apply_fn, variables, batch, scales, rngs,
         method=method, target=target, label_index=label_index, noisy=noisy,
     )
+    igs = {"features_IG": np.asarray(ig_nodes), "adjs_IG": np.asarray(ig_edges)}
+    if ig_vm is not None:
+        igs["vector_modal_IG"] = [np.asarray(v) for v in ig_vm]
     return (
-        {"features_IG": np.asarray(ig_nodes), "adjs_IG": np.asarray(ig_edges)},
+        igs,
         {"check_score": float(check_score), "sum_of_IG": float(sum_of_ig)},
     )
 
@@ -249,6 +275,9 @@ def _dump_ig(outdir, i, tag, batch, igs, check, info) -> None:
         "adjs_IG": edge_ig_to_dense(g, igs["adjs_IG"])[:, 0][0],
         **check,
     }
+    if "vector_modal_IG" in igs:
+        out["vector_modal"] = [np.asarray(v)[0] for v in batch.vector_modal]
+        out["vector_modal_IG"] = [v[0] for v in igs["vector_modal_IG"]]
     if info.mol_info is not None and "obj_list" in info.mol_info:
         try:
             out["mol"] = info.mol_info["obj_list"][i]

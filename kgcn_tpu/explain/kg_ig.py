@@ -33,11 +33,12 @@ def embedding_ig(
     """
     emb_table = variables["params"]["embed"]["embedding"]
 
-    def score_from_embedding(table, scale):
+    def score_at(table):
+        """F evaluated at this embedding table."""
         v = jax.tree_util.tree_map(lambda x: x, variables)
         v = {
             **v,
-            "params": {**v["params"], "embed": {"embedding": table * scale}},
+            "params": {**v["params"], "embed": {"embedding": table}},
         }
         z = model.apply(v, batch, method=model.node_embeddings)
         h = jnp.asarray(target_triples[:, 0])
@@ -48,10 +49,12 @@ def embedding_ig(
                         method=lambda m, zh, zt, rr: m.distmult.score(zh, zt, rr))
         )
 
-    grad_fn = jax.grad(score_from_embedding, argnums=0)
+    # IG with zero baseline: (1/m) Σ_k F'(x·s_k) ⊙ x — the gradient is taken
+    # AT the scaled table so no spurious scale factor enters the Riemann sum
+    grad_fn = jax.grad(score_at)
 
     def body(acc, scale):
-        g = grad_fn(emb_table, scale)
+        g = grad_fn(emb_table * scale)
         return acc + g, None
 
     scales = (jnp.arange(steps, dtype=jnp.float32) + 1.0) / steps

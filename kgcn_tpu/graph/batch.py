@@ -262,6 +262,13 @@ def batch_graphs(
         for g in range(G):
             row, col, val = coo[c][g]
             k = len(row)
+            if k and (row.max() >= N or col.max() >= N):
+                # silently offsetting out-of-range indices would bleed this
+                # graph's edges into graph g+1's block — hard error instead
+                raise ValueError(
+                    f"graph {g} channel {c} has node index "
+                    f"{int(max(row.max(), col.max()))} >= max_nodes {N}"
+                )
             receivers[c, off : off + k] = row + g * N
             senders[c, off : off + k] = col + g * N
             weights[c, off : off + k] = val

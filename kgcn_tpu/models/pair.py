@@ -87,8 +87,11 @@ class PairBatcher:
     """
 
     def __init__(self, ds, info, pairs, batch_size: int, seed: int = 0):
+        # one Batcher serves both towers — make_batch is stateless w.r.t.
+        # which tower consumes it, and a second instance would duplicate the
+        # native COO/ELL precomputation and its memory
         self.b0 = Batcher(ds, info, batch_size, seed=seed)
-        self.b1 = Batcher(ds, info, batch_size, seed=seed)
+        self.b1 = self.b0
         self.pairs = np.asarray(pairs)
         self.batch_size = batch_size
         self.ds = ds

@@ -234,13 +234,29 @@ class GCNNodeLabel(nn.Module):
         labels = batch.node_label.astype(jnp.float32)
         pad = batch.pad_mask
 
+        # valid-node mask: true nodes only (the reference averaged over ALL
+        # padded slots, model_node_label.py:65-76, silently inflating both
+        # cost denominator and accuracy — its node-label path is bit-rotted
+        # and cannot run, so we fix rather than replicate), intersected with
+        # mask_node_label when the dataset provides one
+        node_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+            < g.n_node[:, None]
+        ).astype(jnp.float32)
+        if batch.mask_node_label is not None:
+            m = batch.mask_node_label.astype(jnp.float32)
+            if m.ndim == 3:
+                m = jnp.max(m, axis=-1)
+            node_valid = node_valid * m
+        denom = jnp.maximum(jnp.sum(node_valid, axis=1), 1.0)  # [B]
+
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.sum(labels * logp, axis=-1)  # [B, N]
-        cost = pad * jnp.mean(ce, axis=1)
+        cost = pad * (jnp.sum(node_valid * ce, axis=1) / denom)
         prediction = jax.nn.softmax(logits, axis=-1)
         node_correct = (
             jnp.argmax(prediction, -1) == jnp.argmax(labels, -1)
         ).astype(jnp.float32)
-        correct = pad * jnp.mean(node_correct, axis=1)
+        correct = pad * (jnp.sum(node_valid * node_correct, axis=1) / denom)
         metrics = {"correct_count": jnp.sum(correct), "count": jnp.sum(pad)}
         return ModelOutput(prediction, jnp.mean(cost), jnp.sum(cost), metrics)

@@ -113,21 +113,28 @@ bool next_field(Cursor& c, Field& f) {
       return c.ok;
     case 2:
       f.len = c.varint();
-      if (!c.ok || c.p + f.len > c.end) return false;
+      // compare against the remaining byte count — `c.p + f.len` would
+      // overflow the pointer for adversarial varint lengths near 2^64;
+      // a failed bounds check is MALFORMED input, not end-of-message
+      if (!c.ok || f.len > (uint64_t)(c.end - c.p)) {
+        c.ok = false;
+        return false;
+      }
       f.data = c.p;
       c.p += f.len;
       return true;
     case 5:
-      if (c.p + 4 > c.end) return false;
+      if (c.p + 4 > c.end) { c.ok = false; return false; }
       f.data = c.p;
       c.p += 4;
       return true;
     case 1:
-      if (c.p + 8 > c.end) return false;
+      if (c.p + 8 > c.end) { c.ok = false; return false; }
       f.data = c.p;
       c.p += 8;
       return true;
     default:
+      c.ok = false;
       return false;
   }
 }
@@ -245,7 +252,11 @@ int64_t scan_frames(const uint8_t* buf, int64_t len, int verify_crc,
       std::memcpy(&want, buf + pos + 8, 4);
       if (masked_crc(buf + pos, 8) != want) return -3;  // header CRC
     }
-    if (pos + 12 + (int64_t)rec_len + 4 > len) return -2;
+    // unsigned remaining-bytes comparison: casting rec_len to int64 and
+    // adding would overflow for adversarial 8-byte length fields
+    if (rec_len > (uint64_t)(len - pos - 12) ||
+        (uint64_t)(len - pos - 12) - rec_len < 4)
+      return -2;
     if (verify_crc) {
       uint32_t want;
       std::memcpy(&want, buf + pos + 12 + rec_len, 4);

@@ -38,7 +38,7 @@ from flax import linen as nn
 
 from kgcn_tpu.graph.batch import GraphBatch
 from kgcn_tpu.ops import segment
-from kgcn_tpu.ops.spmm import spmm_dense, spmm_multichannel
+from kgcn_tpu.ops.spmm import ell_aggregate, spmm_dense, spmm_multichannel
 
 
 def _flat(x: jnp.ndarray, graph: GraphBatch) -> jnp.ndarray:
@@ -107,11 +107,9 @@ class GraphConv(nn.Module):
             return out.reshape(graph.total_nodes, F_out)
         hw = jnp.einsum("vf,cfo->cvo", x, w) + b[:, None, :]
         if graph.ell_senders is not None:
-            # scatter-free padded-neighbour-list aggregation
-            gathered = jax.vmap(lambda h, i: h[i])(hw, graph.ell_senders)
-            return jnp.einsum(
-                "cvk,cvkf->vf", graph.ell_weights.astype(hw.dtype), gathered
-            )
+            # scatter-free padded-neighbour-list aggregation (Pallas kernel
+            # when spmm_backend=pallas and it lowers; XLA gather otherwise)
+            return ell_aggregate(graph.ell_senders, graph.ell_weights, hw)
         return spmm_multichannel(
             graph.senders, graph.receivers, graph.edge_weights, hw,
             graph.total_nodes,
@@ -132,10 +130,7 @@ class GINAggregate(nn.Module):
             xb = x.reshape(graph.n_graph, graph.max_nodes, -1)
             agg = spmm_dense(graph.dense_adj, xb).reshape(x.shape)
         elif graph.ell_senders is not None:
-            gathered = x[graph.ell_senders]  # [C, V, K, F]
-            agg = jnp.einsum(
-                "cvk,cvkf->vf", graph.ell_weights.astype(x.dtype), gathered
-            )
+            agg = ell_aggregate(graph.ell_senders, graph.ell_weights, x)
         else:
             agg = spmm_multichannel(
                 graph.senders, graph.receivers, graph.edge_weights, x,

@@ -100,6 +100,39 @@ def coo_to_ell_device(senders, receivers, weights, num_nodes: int,
     return idx.reshape(num_nodes, max_degree), wv.reshape(num_nodes, max_degree)
 
 
+@jax.custom_vjp
+def spmm_ell_ad(idx, w, x):
+    """Differentiable Pallas ELL aggregation ``out[v] = Σ_k w[v,k]·x[idx[v,k]]``.
+
+    The kernel itself has no autodiff rule, so the VJP is supplied manually:
+    ``dx`` is the transpose scatter (segment-sum over flattened slots) and
+    ``dw[v,k] = ⟨g[v], x[idx[v,k]]⟩`` — the same transpose-spmm + SDDMM pair
+    the reference registers for bspmm (kgcn/bspmm_call.py:21-57)."""
+    return spmm_ell_pallas(idx, w, x)
+
+
+def _spmm_ell_ad_fwd(idx, w, x):
+    return spmm_ell_pallas(idx, w, x), (idx, w, x)
+
+
+def _spmm_ell_ad_bwd(res, g):
+    idx, w, x = res
+    V, K = idx.shape
+    g32 = g.astype(jnp.float32)
+    # dx[u] = Σ_{v,k: idx[v,k]=u} w[v,k] · g[v]
+    contrib = (w[:, :, None].astype(jnp.float32) * g32[:, None, :]).reshape(
+        V * K, -1
+    )
+    dx = jax.ops.segment_sum(contrib, idx.reshape(-1), num_segments=x.shape[0])
+    # dw[v,k] = ⟨g[v], x[idx[v,k]]⟩
+    dw = jnp.einsum("vf,vkf->vk", g32, x[idx].astype(jnp.float32))
+    d_idx = jnp.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return d_idx, dw.astype(w.dtype), dx.astype(x.dtype)
+
+
+spmm_ell_ad.defvjp(_spmm_ell_ad_fwd, _spmm_ell_ad_bwd)
+
+
 _KERNEL_OK: list = []  # empty = unprobed; [True]/[False] after probe
 
 
@@ -129,17 +162,26 @@ def spmm_pallas(senders, receivers, weights, x, num_nodes: int,
         gathered = x[senders] * weights[:, None].astype(x.dtype)
         return jax.ops.segment_sum(gathered, receivers, num_segments=V)
     if max_degree is None:
-        # static bound required; compute from host data when traceable is
-        # not required (concrete inputs), else use a safe cap
-        try:
-            deg = np.zeros(V, np.int64)
+        # A static per-row degree bound is required.  Traced edge lists have
+        # no host-visible degrees — guessing a cap would SILENTLY DROP edges
+        # beyond it, so that is a hard error rather than a fallback.
+        if isinstance(receivers, jax.core.Tracer):
+            raise ValueError(
+                "spmm_pallas called under jit without max_degree: pass the "
+                "dataset-wide max in-degree explicitly (a traced edge list "
+                "has no host-visible degrees, and capping would drop edges)"
+            )
+        deg = np.zeros(V, np.int64)
+        if isinstance(weights, jax.core.Tracer):
+            # weights traced but topology concrete: count every edge slot —
+            # a safe overestimate (padding edges only add zero rows)
+            np.add.at(deg, np.asarray(receivers), 1)
+        else:
             np.add.at(deg, np.asarray(receivers)[np.asarray(weights) != 0], 1)
-            max_degree = max(int(deg.max()), 1)
-        except Exception:
-            max_degree = 16
+        max_degree = max(int(deg.max()), 1)
     idx, w = coo_to_ell_device(senders, receivers, weights, V, max_degree)
     if _kernel_supported():
-        return spmm_ell_pallas(idx, w, x)
+        return spmm_ell_ad(idx, w, x)
     from kgcn_tpu.ops.ell import spmm_ell
 
     return spmm_ell(idx, w, x)

@@ -46,7 +46,22 @@ def get_backend() -> str:
     return _BACKEND
 
 
-def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = None):
+_PALLAS_FALLBACK_WARNED = [False]
+
+
+def _warn_pallas_fallback() -> None:
+    if not _PALLAS_FALLBACK_WARNED[0]:
+        _PALLAS_FALLBACK_WARNED[0] = True
+        print(
+            "[spmm] pallas backend requested but no static max_degree is "
+            "available on the COO path under jit — using the XLA scatter "
+            "path (identical results); the Pallas kernel engages on the ELL "
+            "path when the dataset's degree layout qualifies"
+        )
+
+
+def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = None,
+         max_degree: int | None = None):
     """``out[r] = Σ_{e: receivers[e]=r} weights[e] * x[senders[e]]``.
 
     senders/receivers: [E] int32, weights: [E], x: [V, F] → [num_nodes, F].
@@ -56,13 +71,15 @@ def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = N
     if backend == "pallas":
         from kgcn_tpu.ops.pallas_spmm import spmm_pallas
 
-        return spmm_pallas(senders, receivers, weights, x, num_nodes)
+        return spmm_pallas(senders, receivers, weights, x, num_nodes,
+                           max_degree=max_degree)
     gathered = x[senders] * weights[:, None].astype(x.dtype)
     return jax.ops.segment_sum(gathered, receivers, num_segments=num_nodes)
 
 
 def spmm_multichannel(
-    senders, receivers, weights, x, num_nodes: int, backend: str | None = None
+    senders, receivers, weights, x, num_nodes: int, backend: str | None = None,
+    max_degree: int | None = None,
 ):
     """Channel-summed spmm: ``out[r] = Σ_c Σ_e w[c,e] · x_c[s[c,e]]``.
 
@@ -70,6 +87,7 @@ def spmm_multichannel(
     Bconv layout where each channel has its own projected features) or [V, F]
     (shared features).  Returns [num_nodes, F].
     """
+    backend = backend or _BACKEND
     C, E = senders.shape
     if x.ndim == 2:
         x = jnp.broadcast_to(x[None], (C, *x.shape))
@@ -81,8 +99,52 @@ def spmm_multichannel(
     flat_senders = (senders + offs).reshape(-1)
     flat_receivers = receivers.reshape(-1)
     flat_weights = weights.reshape(-1)
+    if backend == "pallas":
+        if max_degree is None and isinstance(receivers, jax.core.Tracer):
+            # no host-visible degrees under jit and no explicit bound: the
+            # correct XLA path (identical math) beats a guessed cap that
+            # would silently drop edges
+            _warn_pallas_fallback()
+        else:
+            # channel-flattened degree bound: each receiver can take up to
+            # C × max_degree flattened edges
+            md = max_degree * C if max_degree is not None else None
+            return spmm(flat_senders, flat_receivers, flat_weights, flat_x,
+                        num_nodes, backend="pallas", max_degree=md)
     gathered = flat_x[flat_senders] * flat_weights[:, None].astype(flat_x.dtype)
     return jax.ops.segment_sum(gathered, flat_receivers, num_segments=num_nodes)
+
+
+def ell_aggregate(ell_senders, ell_weights, x, backend: str | None = None):
+    """Channel-summed ELL aggregation ``out[v] = Σ_c Σ_k w[c,v,k]·x_c[i[c,v,k]]``.
+
+    ell_senders/ell_weights: [C, V, K]; x: [C, V, F] or [V, F] (shared).
+    Dispatches to the Pallas VMEM-resident kernel (with its custom VJP) when
+    the ``pallas`` backend is selected and lowers on this platform; otherwise
+    the XLA gather+einsum path (identical math).
+    """
+    backend = backend or _BACKEND
+    C = ell_senders.shape[0]
+    if backend == "pallas":
+        from kgcn_tpu.ops.pallas_spmm import (
+            VMEM_X_BUDGET_BYTES, _kernel_supported, spmm_ell_ad,
+        )
+
+        V = ell_senders.shape[1]
+        F = x.shape[-1]
+        fits = V * (((F + 127) // 128) * 128) * 4 <= VMEM_X_BUDGET_BYTES
+        if fits and _kernel_supported():
+            out = None
+            for c in range(C):  # C is small and static
+                xc = x[c] if x.ndim == 3 else x
+                o = spmm_ell_ad(ell_senders[c], ell_weights[c], xc)
+                out = o if out is None else out + o
+            return out
+    if x.ndim == 3:
+        gathered = jax.vmap(lambda h, i: h[i])(x, ell_senders)  # [C, V, K, F]
+    else:
+        gathered = x[ell_senders]
+    return jnp.einsum("cvk,cvkf->vf", ell_weights.astype(x.dtype), gathered)
 
 
 def sddmm(senders, receivers, a, b):

@@ -47,7 +47,7 @@ def payload_to_data(payload: Dict[str, Any]) -> Dict[str, Any]:
             data[key] = val
         elif key in ("node", "label_list", "test_label_list"):
             data[key] = [np.asarray(v, np.int32) for v in val]
-        elif key in ("sequence", "sequence_len", "sequence_symbol_num"):
+        elif key in ("sequence", "sequence_length", "sequence_symbol_num"):
             data[key] = np.asarray(val, np.int32)
         else:
             data[key] = np.asarray(val, np.float32)
@@ -212,7 +212,7 @@ class DynamicBatcher:
     """
 
     _MERGE_AXIS0 = ("feature", "dense_adj", "multi_dense_adj", "label",
-                    "mask_label", "vector_modal", "sequence", "sequence_len")
+                    "mask_label", "vector_modal", "sequence", "sequence_length")
 
     def __init__(self, predictor: Predictor, *, window_ms: float = 5.0,
                  max_graphs: int = 256):

@@ -155,3 +155,19 @@ def test_pad_edge_budget():
     assert pad_edge_budget(1) == 128
     assert pad_edge_budget(128) == 128
     assert pad_edge_budget(129) == 256
+
+
+def test_batch_graphs_rejects_out_of_range_indices():
+    """An oversized molecule must raise, not bleed edges into the next
+    graph's block (serving pins max_nodes to the first request's contract)."""
+    import numpy as np
+    import pytest
+
+    from kgcn_tpu.graph.batch import batch_graphs
+
+    indices = np.array([[0, 5], [5, 0]], np.int32)  # node 5 >= max_nodes 4
+    val = np.ones(2, np.float32)
+    feats = np.zeros((1, 4, 3), np.float32)
+    feats[0, :2] = 1.0
+    with pytest.raises(ValueError, match="max_nodes"):
+        batch_graphs([[(indices, val, (6, 6))]], feats, max_nodes=4)

@@ -58,9 +58,26 @@ def test_kg_embedding_ig_and_csv(tmp_path):
         state, *_ = trainer.run_epoch(state, kb)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     targets = np.array([[0, 0, 1], [3, 0, 4]], np.int32)
-    ig = embedding_ig(model, variables, batch, targets, steps=20)
+    ig = embedding_ig(model, variables, batch, targets, steps=200)
     assert ig.shape == (20, 8)
     assert np.isfinite(ig).all()
+
+    # completeness oracle: Σ IG ≈ F(1) − F(0) (zero-embedding baseline)
+    import jax.numpy as jnp
+
+    def score_at(scale):
+        table = variables["params"]["embed"]["embedding"] * scale
+        v = {**variables,
+             "params": {**variables["params"], "embed": {"embedding": table}}}
+        z = model.apply(v, batch, method=model.node_embeddings)
+        h, r, t = targets[:, 0], targets[:, 1], targets[:, 2]
+        return float(jnp.sum(model.apply(
+            v, z[h], z[t], jnp.asarray(r),
+            method=lambda m, zh, zt, rr: m.distmult.score(zh, zt, rr))))
+
+    delta = score_at(1.0) - score_at(0.0)
+    rel_err = abs(ig.sum() - delta) / max(abs(delta), 1e-9)
+    assert rel_err < 0.05, f"IG completeness rel_err={rel_err}"
     # target nodes should carry meaningful attribution
     scores = np.abs(ig).sum(axis=1)
     assert scores[0] > 0 and scores[1] > 0

@@ -93,3 +93,43 @@ def test_regression_model(tmp_path):
     ev = trainer.evaluate(state, vb, "validation_")
     mse = float(ev["metrics"]["validation_mse"])
     assert mse < 0.8, f"regression failed to learn: mse={mse}"  # target has unit variance
+
+
+def test_vector_modal_ig_completeness(tmp_path):
+    """IG must scale AND differentiate the vector modality — otherwise
+    sum(IG) can never match F(1)−F(0) for vector-modal models."""
+    import jax
+
+    from kgcn_tpu.explain.ig import integrated_gradients
+
+    cfg = default_config()
+    cfg.update(
+        {"epoch": 5, "batch_size": 6, "learning_rate": 0.01,
+         "task": "classification", "save_model_path": str(tmp_path),
+         "save_interval": 0}
+    )
+    data = make_ring_dataset(num_pairs=9, seed=0)
+    n = len(data["label"])
+    rng = np.random.RandomState(0)
+    vm = rng.standard_normal((n, 8)).astype(np.float32)
+    vm[np.argmax(data["label"], 1) == 1] += 2.0
+    data["vector_modal"] = vm
+    ds, info = build_dataset(data, cfg)
+    model = build_model("gcn_vector_modal", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    b = Batcher(ds, info, 6, seed=0)
+    state = trainer.init_state(b.make_batch(np.arange(6)), seed=0)
+    state, *_ = trainer.run_epoch(state, b)
+
+    b1 = Batcher(ds, info, 1, seed=0)
+    batch = b1.make_batch(np.asarray([0]))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    igs, check = integrated_gradients(
+        jax.tree_util.Partial(model.apply), variables, batch,
+        steps=200, target="max",
+    )
+    assert "vector_modal_IG" in igs
+    assert igs["vector_modal_IG"][0].shape == (1, 8)
+    rel_err = abs(check["sum_of_IG"] - check["check_score"]) / max(
+        abs(check["check_score"]), 1e-9)
+    assert rel_err < 0.1, f"IG completeness rel_err={rel_err} ({check})"

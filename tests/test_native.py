@@ -180,3 +180,42 @@ def test_load_tfrecord_dataset_native_equals_python(tmp_path):
         for c1, c2 in zip(a, b):
             np.testing.assert_array_equal(np.asarray(c1[0]), np.asarray(c2[0]))
             np.testing.assert_allclose(np.asarray(c1[1]), np.asarray(c2[1]))
+
+
+def test_native_rejects_adversarial_varint_lengths(tmp_path, _built):
+    """A length-delimited field whose varint length is near 2^64 (valid
+    framing CRC — CRC protects bytes, not proto well-formedness) must return
+    a parse error, not read out of bounds."""
+    from kgcn_tpu.data.tfrecord import _masked_crc
+    import struct
+
+    # proto payload: field 1, wire 2, length = 2^63 (huge varint), no data
+    huge = (1 << 63)
+    varint = b""
+    v = huge
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        varint += bytes([b7 | (0x80 if v else 0)])
+        if not v:
+            break
+    payload = bytes([0x0A]) + varint  # tag(1,2) + huge length
+    rec = struct.pack("<Q", len(payload))
+    rec += struct.pack("<I", _masked_crc(rec[:8]))
+    rec += payload
+    rec += struct.pack("<I", _masked_crc(payload))
+    p = tmp_path / "evil.tfrecords"
+    p.write_bytes(rec)
+
+    with pytest.raises(ValueError, match="malformed"):
+        native.parse_tfrecord_arrays(str(p), ["feature"])
+
+    # adversarial framing: 8-byte length near 2^63 must be "truncated", not
+    # an overflowing pointer walk
+    p2 = tmp_path / "evil_frame.tfrecords"
+    frame = struct.pack("<Q", (1 << 62))
+    frame += struct.pack("<I", _masked_crc(frame[:8]))
+    frame += b"xx"
+    p2.write_bytes(frame)
+    with pytest.raises(ValueError, match="malformed"):
+        native.parse_tfrecord_arrays(str(p2), ["feature"])

@@ -254,3 +254,30 @@ def test_dynamic_batching_isolates_bad_request(tmp_path):
     resp = db.predict(good)
     assert resp["num"] == 2
     db.close()
+
+
+def test_merge_concatenates_sequence_lengths():
+    """Sequence requests must merge 'sequence_length' per graph — the jbl
+    schema key (dataset.py) — or coalesced CPI requests keep only the first
+    request's lengths."""
+    from kgcn_tpu.runtime.serve import DynamicBatcher
+
+    d1 = payload_to_data({
+        "feature": np.zeros((2, 4, 3)).tolist(),
+        "dense_adj": np.eye(4)[None].repeat(2, 0).tolist(),
+        "max_node_num": 4,
+        "sequence": np.ones((2, 6), np.int32).tolist(),
+        "sequence_length": [5, 6],
+    })
+    d2 = payload_to_data({
+        "feature": np.zeros((1, 4, 3)).tolist(),
+        "dense_adj": np.eye(4)[None].tolist(),
+        "max_node_num": 4,
+        "sequence": np.ones((1, 6), np.int32).tolist(),
+        "sequence_length": [3],
+    })
+    assert d1["sequence_length"].dtype == np.int32
+    db = object.__new__(DynamicBatcher)  # _merge uses only the class attr
+    merged = db._merge([d1, d2])
+    assert merged["sequence"].shape == (3, 6)
+    np.testing.assert_array_equal(merged["sequence_length"], [5, 6, 3])

@@ -149,3 +149,42 @@ def test_resume_replays_remaining_epochs(tmp_path):
     s3, info3 = trainer3.fit(s3, tb3, vb3, log=lambda s: None)
     # resumed run trains epochs 3..5 only
     assert [h["epoch"] for h in info3["history"]] == [3, 4, 5]
+
+
+def test_node_label_metrics_ignore_padding(tmp_path):
+    """Padded node slots must not count toward node-label cost/accuracy
+    (argmax(0)==argmax(0) on padding used to inflate accuracy)."""
+    cfg = default_config()
+    cfg.update({"task": "classification"})
+    G, N, real = 4, 12, 3
+    rng = np.random.RandomState(0)
+    dense = np.zeros((G, N, N))
+    feats = np.zeros((G, N, 4))
+    node_label = np.zeros((G, N, 2))
+    for g in range(G):
+        a = (rng.rand(real, real) > 0.5).astype(float)
+        a = np.maximum(a, a.T)
+        np.fill_diagonal(a, 1)
+        dense[g, :real, :real] = a
+        feats[g, :real] = rng.rand(real, 4)
+        lab = rng.randint(0, 2, real)
+        node_label[g, np.arange(real), lab] = 1.0
+    data = {"feature": feats, "dense_adj": dense, "node_label": node_label,
+            "max_node_num": np.int64(N)}
+    ds, info = build_dataset(data, cfg)
+    model = build_model("gcn_node_label", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    tb = Batcher(ds, info, G, seed=0)
+    batch = tb.make_batch(np.arange(G))
+    state = trainer.init_state(batch, seed=0)
+    out = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats}, batch, train=False)
+    pred = np.asarray(out.prediction)  # [G, N, 2]
+    # manual masked accuracy over the 3 real nodes only
+    man_correct = 0.0
+    for g in range(G):
+        c = (pred[g, :real].argmax(-1) == node_label[g, :real].argmax(-1))
+        man_correct += c.mean()
+    np.testing.assert_allclose(
+        float(out.metrics["correct_count"]), man_correct, atol=1e-5)
+    assert float(out.metrics["count"]) == G
