@@ -49,6 +49,9 @@ def main(argv=None):
                    help="append Pauling electronegativity to atom features")
     p.add_argument("--use-gasteiger", action="store_true",
                    help="append Gasteiger partial charge to atom features")
+    p.add_argument("--pseudo-negative", action="store_true",
+                   help="balance assay labels by unmasking random cells as "
+                        "negatives (CPI; reference chem.py:193-226)")
     p.add_argument("--morgan-fingerprint", action="store_true")
     p.add_argument("--sequence", default=None,
                    help="protein sequence file (CPI multimodal), one/line")
@@ -102,6 +105,12 @@ def main(argv=None):
         sequence_symbol_num=symbol_num,
         generate_mol_info=not args.no_mol_info,
     )
+    if args.pseudo_negative and "label" in data:
+        lab, msk, n_added = fz.generate_pseudo_negatives(
+            data["label"], data["mask_label"]
+        )
+        data["label"], data["mask_label"] = lab, msk
+        print(f"[INFO] pseudo negative count: {n_added}")
 
     if args.tfrecords:
         from kgcn_tpu.data.tfrecord import example_from_graph, write_tfrecord

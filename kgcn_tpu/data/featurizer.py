@@ -259,6 +259,43 @@ def build_chem_dataset(
     return data
 
 
+def generate_pseudo_negatives(labels: np.ndarray, mask: np.ndarray,
+                              seed: int = 0):
+    """Balance an assay label matrix by unmasking random unlabeled
+    (molecule, task) cells as negatives until actives ≈ inactives
+    (reference: kgcn/preprocessing/chem.py:193-226 ``--no_pseudo_negative``
+    off by default for CPI).  Mutates copies; returns (labels, mask,
+    n_added).  Pure NumPy — no RDKit needed."""
+    labels = np.array(labels, copy=True)
+    mask = np.array(mask, copy=True)
+    mi, ti = np.where(mask == 1)
+    active = int((labels[mi, ti] == 1).sum())
+    inactive = int((labels[mi, ti] == 0).sum())
+    make = active - inactive
+    if make <= 0:
+        return labels, mask, 0
+    free = int((mask == 0).sum())
+    rng = np.random.RandomState(seed)
+    if make >= free:
+        # every remaining cell becomes a pseudo negative (chem.py:206-209)
+        labels[mask == 0] = 0
+        mask[mask == 0] = 1
+        return labels, mask, free
+    added = 0
+    M, T = mask.shape
+    while added < make:
+        m = rng.randint(0, M, make - added)
+        t = rng.randint(0, T, make - added)
+        new = mask[m, t] == 0
+        m, t = m[new], t[new]
+        if len(m):
+            pairs = np.unique(np.stack([m, t]), axis=1)
+            mask[pairs[0], pairs[1]] = 1
+            labels[pairs[0], pairs[1]] = 0
+            added += pairs.shape[1]
+    return labels, mask, added
+
+
 AMINO_ACIDS = "ACDEFGHIKLMNPQRSTVWY"
 
 

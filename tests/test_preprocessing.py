@@ -211,3 +211,32 @@ def test_atom_feature_extras_with_stub_rdkit(monkeypatch):
 
     nan_g = atom_features(FakeAtom(float("nan")), use_gasteiger=True)
     assert nan_g[-6] == 0.0
+
+
+def test_generate_pseudo_negatives_balances():
+    import numpy as np
+
+    from kgcn_tpu.data.featurizer import generate_pseudo_negatives
+
+    rng = np.random.RandomState(0)
+    M, T = 40, 5
+    labels = np.zeros((M, T))
+    mask = np.zeros((M, T), np.int64)
+    # 30 actives, 10 inactives labeled
+    mi, ti = np.where(rng.rand(M, T) < 0.25)
+    mi, ti = mi[:40], ti[:40]
+    mask[mi, ti] = 1
+    labels[mi[:30], ti[:30]] = 1
+    labels[mi[30:], ti[30:]] = 0
+    lab2, msk2, n = generate_pseudo_negatives(labels, mask, seed=1)
+    i, j = np.where(msk2 == 1)
+    active = int((lab2[i, j] == 1).sum())
+    inactive = int((lab2[i, j] == 0).sum())
+    assert active == inactive, (active, inactive)
+    assert n == active - 10
+    # originals untouched
+    assert mask.sum() < msk2.sum()
+    np.testing.assert_array_equal(labels[mi[:30], ti[:30]], 1)
+    # already-balanced input is a no-op
+    _, _, n0 = generate_pseudo_negatives(lab2, msk2, seed=2)
+    assert n0 == 0
