@@ -186,6 +186,53 @@ def integrated_gradients(
     )
 
 
+def embedded_layer_ig(
+    model,
+    variables,
+    batch: Batch,
+    *,
+    steps: int = 100,
+    target: str = "max",
+    label_index: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
+    """IG on the SEQUENCE-EMBEDDING layer output — integer sequences are not
+    differentiable, so the reference scales the embedded layer instead
+    (``feed_embedded_layer=True``, kgcn/visualization.py:64,123-126,302-320;
+    model hook ``embedding()``, example_model/model_multimodal.py:122-126).
+
+    Returns ``(embedded_layer [B,L,D], embedded_layer_IG, check)``.
+    """
+    import jax
+
+    score_fn = make_target_score(target, label_index)
+    emb0 = model.apply(variables, batch.sequences, method=model.embedding)
+
+    def forward(emb):
+        out = model.apply(variables, batch, train=False, embedded=emb)
+        return score_fn(out.prediction, batch.labels)
+
+    grad_fn = jax.grad(forward)
+
+    @jax.jit
+    def core():
+        scales = (jnp.arange(steps, dtype=jnp.float32) + 1.0) / steps
+
+        def body(acc, s):
+            return acc + grad_fn(emb0 * s), None
+
+        gsum, _ = jax.lax.scan(body, jnp.zeros_like(emb0), scales)
+        ig = (gsum / steps) * emb0
+        check = forward(emb0) - forward(jnp.zeros_like(emb0))
+        return ig, check
+
+    ig, check_score = core()
+    return (
+        np.asarray(emb0),
+        np.asarray(ig),
+        {"check_score": float(check_score), "sum_of_IG": float(np.sum(ig))},
+    )
+
+
 def edge_ig_to_dense(graph, ig_edges: np.ndarray) -> np.ndarray:
     """Scatter per-edge IG into dense [C, B, N, N] (what gcnvisualizer's
     adjacency heatmap expects)."""
@@ -260,6 +307,15 @@ def run_visualization(config) -> None:
             apply_fn, variables, batch, steps=steps, target=ig_target,
             label_index=label_index,
         )
+        if batch.sequences is not None and hasattr(model, "embedding"):
+            emb, emb_ig, emb_check = embedded_layer_ig(
+                model, variables, batch, steps=steps, target=ig_target,
+                label_index=label_index,
+            )
+            igs["embedded_layer"] = emb
+            igs["embedded_layer_IG"] = emb_ig
+            check["embedded_check_score"] = emb_check["check_score"]
+            check["embedded_sum_of_IG"] = emb_check["sum_of_IG"]
         _dump_ig(outdir, i, target, batch, igs, check, info)
 
 
@@ -278,6 +334,9 @@ def _dump_ig(outdir, i, tag, batch, igs, check, info) -> None:
     if "vector_modal_IG" in igs:
         out["vector_modal"] = [np.asarray(v)[0] for v in batch.vector_modal]
         out["vector_modal_IG"] = [v[0] for v in igs["vector_modal_IG"]]
+    if "embedded_layer_IG" in igs:
+        out["embedded_layer"] = igs["embedded_layer"][0]
+        out["embedded_layer_IG"] = igs["embedded_layer_IG"][0]
     if info.mol_info is not None and "obj_list" in info.mol_info:
         try:
             out["mol"] = info.mol_info["obj_list"][i]

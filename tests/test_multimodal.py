@@ -133,3 +133,33 @@ def test_vector_modal_ig_completeness(tmp_path):
     rel_err = abs(check["sum_of_IG"] - check["check_score"]) / max(
         abs(check["check_score"]), 1e-9)
     assert rel_err < 0.1, f"IG completeness rel_err={rel_err} ({check})"
+
+
+def test_embedded_layer_ig(tmp_path):
+    """IG on the sequence-embedding layer (reference feed_embedded_layer
+    mode): shape, finiteness, and nonzero attribution on the informative
+    prefix tokens."""
+    from kgcn_tpu.explain.ig import embedded_layer_ig
+
+    cfg = default_config()
+    cfg.update(
+        {"epoch": 10, "batch_size": 10, "learning_rate": 0.01,
+         "normalize_adj_flag": True, "task": "classification",
+         "save_model_path": str(tmp_path), "save_interval": 0}
+    )
+    data = _seq_data(num_pairs=10)
+    ds, info = build_dataset(data, cfg)
+    model = build_model("gcn_multimodal", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    tb = Batcher(ds, info, 10, seed=0)
+    state = trainer.init_state(tb.make_batch(np.arange(10)), seed=0)
+    state, _ = trainer.fit(state, tb, None, log=lambda s: None)
+
+    b1 = Batcher(ds, info, 1, seed=0)
+    batch = b1.make_batch(np.asarray([0]))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    emb, ig, check = embedded_layer_ig(model, variables, batch, steps=50)
+    assert emb.shape == ig.shape and emb.shape[:2] == (1, 12)
+    assert np.isfinite(ig).all()
+    assert np.abs(ig).sum() > 0
+    assert np.isfinite(check["check_score"])
