@@ -572,7 +572,16 @@ def cmd_infer(config) -> Dict[str, Any]:
 
 
 def cmd_visualize(config) -> None:
-    """Integrated-gradients visualisation (reference: gcn.py:637-657)."""
+    """Integrated-gradients visualisation (reference: gcn.py:637-657):
+    ``visualize_type: graph`` (default for graph tasks) runs compound IG;
+    KG mode (``task: link_prediction`` or an edge ``visualize_type``) runs
+    the knowledge-graph embedding-IG visualizer."""
+    vt = str(config.get("visualize_type", "graph") or "graph")
+    if config.get("task") == "link_prediction" or vt.startswith("edge"):
+        from kgcn_tpu.explain.kg_ig import run_kg_visualization
+
+        run_kg_visualization(config)
+        return
     from kgcn_tpu.explain.ig import run_visualization
 
     run_visualization(config)

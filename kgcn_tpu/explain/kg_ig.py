@@ -81,6 +81,54 @@ def subgraph_within(adjs, targets: Sequence[int], hops: int = 2):
     return sorted(keep), G
 
 
+def run_kg_visualization(config) -> None:
+    """CLI driver for KG embedding IG (reference:
+    ``cal_feature_IG_for_kg``, kgcn/visualization.py:389-440, reached from
+    ``kgcn visualize`` when ``visualize_type`` is not 'graph',
+    gcn.py:651-658): per target triple, IG of its score on the embedding
+    table, dumped as ``edgepred-{h}-{t}`` node/edge CSVs restricted to
+    ``graph_distance`` hops."""
+    from kgcn_tpu.data import load_jbl
+    from kgcn_tpu.models.kg import KGBatcher
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.runtime.train import Trainer
+
+    ds, info = load_jbl(config["dataset"], config)
+    model_name = config.get("model.py", "kg_distmult")
+    if model_name in ("model", "gcn"):
+        model_name = "kg_distmult"
+    model = build_model(model_name, info, config)
+    trainer = Trainer(model, config, info)
+    kb = KGBatcher(ds, info, label_batch_size=config.get("label_batch_size"),
+                   seed=int(config.get("seed", 0)))
+    batch = kb.init_batch()
+    state = trainer.init_state(batch, seed=0)
+    path = config.get("load_model") or os.path.join(
+        config.get("save_model_path", "model"), "model.last.ckpt"
+    )
+    state = trainer.restore(state, path)
+    print(f"[LOAD] {path}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    triples = np.asarray(ds.label_list[0], dtype=np.int32)[:, :3]  # (h, r, t)
+    target = config.get("visualize_target")
+    if target is None:
+        n = int(config.get("visualize_num", len(triples)) or len(triples))
+        targets = range(min(n, len(triples)))
+    else:
+        targets = [int(target)]
+    outdir = config.get("visualize_path", "./visualization/")
+    steps = int(config.get("ig_divide_number", 30))
+    hops = int(config.get("graph_distance", 2))
+    for t in targets:
+        h, r, tl = (int(x) for x in triples[t])
+        ig = embedding_ig(model, variables, batch, triples[t:t + 1],
+                          steps=steps)
+        print(f"edge target = {t} => {h}-{tl}")
+        dump_kg_ig_csv(outdir, ig, ds.adjs[0], targets=[h, tl], hops=hops,
+                       prefix=f"edgepred-{h}-{tl}")
+
+
 def dump_kg_ig_csv(
     outdir: str,
     node_ig: np.ndarray,

@@ -147,3 +147,36 @@ def test_seq_cnn_model(tmp_path):
     state = trainer.init_state(b.make_batch(np.arange(20)), seed=0)
     state, cost, _, _ = trainer.run_epoch(state, b)
     assert np.isfinite(cost)
+
+
+def test_kg_visualize_via_cli(tmp_path):
+    """`kgcn-tpu visualize` with task=link_prediction routes to the KG
+    embedding-IG visualizer (reference cal_feature_IG_for_kg path)."""
+    import json
+
+    from kgcn_tpu.cli.main import main
+
+    data = make_kg_dataset(num_entities=20, num_relations=1, seed=0)
+    joblib.dump(data, tmp_path / "kg.jbl")
+    cfg = {
+        "dataset": str(tmp_path / "kg.jbl"), "task": "link_prediction",
+        "model.py": "kg_distmult", "epoch": 5, "batch_size": 1,
+        "learning_rate": 0.05, "with_node_embedding": True,
+        "with_feature": False, "embedding_dim": 8,
+        "save_model_path": str(tmp_path / "model"), "make_plot": False,
+        "visualize_path": str(tmp_path / "viz") + "/", "visualize_num": 2,
+        "ig_divide_number": 10, "graph_distance": 1,
+    }
+    cfg_path = tmp_path / "config.json"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    main(["train", "--config", str(cfg_path)])
+    main(["visualize", "--config", str(cfg_path)])
+    import glob
+
+    nodes = glob.glob(str(tmp_path / "viz" / "edgepred-*_nodes.csv"))
+    edges = glob.glob(str(tmp_path / "viz" / "edgepred-*_edges.csv"))
+    assert len(nodes) == 2 and len(edges) == 2
+    lines = open(nodes[0]).read().strip().splitlines()
+    assert lines[0] == "node,name,ig_score,is_target"
+    assert any(line.endswith(",1") for line in lines[1:]), "no target row"
