@@ -243,8 +243,9 @@ def _train_kg_sharded(config, ds, info, model_name: str) -> Dict[str, Any]:
         print(f"[LOAD] {config['retrain']}")
     ll = np.asarray(ds.label_list[0], np.int32)
     t0 = time.time()
-    resident = config.get("device_resident", "auto")
-    if resident not in (False, "false", 0) and not config.get("label_batch_size"):
+    from kgcn_tpu.runtime.resident import resident_flag
+
+    if resident_flag(config) != "off" and not config.get("label_batch_size"):
         # whole-run-in-one-dispatch path: in-kernel negative sampling,
         # epochs scanned on device (fit_resident)
         state, history = bg.fit_resident(

@@ -99,10 +99,11 @@ class KGLinkPredictor(nn.Module):
         h_neg, r_neg, t_neg = ll[:, 3], ll[:, 4], ll[:, 5]
         s1 = self.distmult.score(z[h_pos], z[t_pos], r_pos)
         s2 = self.distmult.score(z[h_neg], z[t_neg], r_neg)
-        # reference loss verbatim (distmult.py:52-56)
+        # reference loss (distmult.py:52-56) in its gradient-stable form:
+        # -log(1/(1+exp(s))) == softplus(s); the literal transcription NaNs
+        # the backward pass once s ≳ 88 in float32 (exp overflow → -inf/inf)
         score = s2 - s1 + self.gamma
-        output = 1.0 / (1.0 + jnp.exp(score))
-        cost = -jnp.log(output + 1.0e-10)
+        cost = jax.nn.softplus(score)
         metrics = {
             "correct_count": jnp.sum((s1 > s2).astype(jnp.float32)),
             "count": jnp.asarray(ll.shape[0], jnp.float32),
@@ -175,8 +176,10 @@ class KGBatcher:
         slices = []
         for start in range(0, self.num_labels, L):
             idx = order[start : start + L]
-            if len(idx) < L:  # pad to static shape by wrapping
-                idx = np.concatenate([idx, order[: L - len(idx)]])
+            if len(idx) < L:  # pad to static shape by cyclic wrapping
+                # (np.resize repeats idx however large the shortfall —
+                # a single concatenate falls short when L > 2·num_labels)
+                idx = np.resize(idx, L)
             ll = self.label_list[idx]
             if not self.test:
                 ll = sample_negatives(ll, self.all_nodes, self._rng, self.pair_mode)

@@ -66,7 +66,8 @@ class BigGraphKGTrainer:
                  num_layers: int = 2, gamma: float = 0.1,
                  learning_rate: float = 0.01, strategy: str = "ring",
                  node_mask: Optional[np.ndarray] = None,
-                 tx: Optional[optax.GradientTransformation] = None):
+                 tx: Optional[optax.GradientTransformation] = None,
+                 tx_shard_safe: bool = True):
         if encoder not in ("embedding", "gcn", "gin"):
             raise ValueError(f"unknown encoder {encoder!r}")
         self.mesh, self.axis = mesh, axis
@@ -80,6 +81,11 @@ class BigGraphKGTrainer:
         self.gamma = float(gamma)
         self.strategy = strategy
         self.tx = tx if tx is not None else optax.adam(learning_rate)
+        # whether tx is elementwise per-leaf (adam/sgd/...) and therefore
+        # correct to apply INSIDE shard_map on per-device shards; cross-leaf
+        # norm transforms (global-norm clip, lamb) are NOT — their norms
+        # would be computed per shard (fit_resident falls back to fit then)
+        self.tx_shard_safe = bool(tx_shard_safe)
         mask = np.ones(self.v_pad, np.float32)
         if node_mask is not None:
             # node_mask may be longer than v_pad (the Batcher lane-aligns its
@@ -276,10 +282,10 @@ class BigGraphKGTrainer:
         z_full = jax.lax.all_gather(z_local, self.axis, tiled=True)
         s1 = self._score(z_full, theta["distmult"], ll[:, :3])
         s2 = self._score(z_full, theta["distmult"], ll[:, 3:])
-        # reference loss verbatim (distmult.py:52-56)
+        # reference loss (distmult.py:52-56) in its gradient-stable softplus
+        # form (see models/kg.py — the literal version NaNs at score ≳ 88)
         score = s2 - s1 + self.gamma
-        output = 1.0 / (1.0 + jnp.exp(score))
-        cost = -jnp.log(output + 1.0e-10) * lv
+        cost = jax.nn.softplus(score) * lv
         correct = jnp.sum((s1 > s2).astype(jnp.float32) * lv)
         return jnp.sum(cost), (correct, jnp.sum(lv))
 
@@ -338,7 +344,7 @@ class BigGraphKGTrainer:
             tree,
         )
 
-    def _build_step(self, label_budget: int):
+    def _build_step(self):
         sharded = self._sharded_grads()
         tx = self.tx
 
@@ -380,7 +386,7 @@ class BigGraphKGTrainer:
             {"embed": g_embed, "theta": g_theta},
         )
 
-    def _build_eval(self, label_budget: int):
+    def _build_eval(self):
         axis = self.axis
 
         def local_eval(embed, theta, mask, sl, rl, wl, ll, lv):
@@ -434,9 +440,9 @@ class BigGraphKGTrainer:
         """
         assert self._edges is not None, "call partition_graph first"
         ll, lv, n = self._shard_labels(label_list)
-        if self._step_fn is None or self._label_budget != ll.shape[0]:
-            self._label_budget = ll.shape[0]
-            self._step_fn = self._build_step(ll.shape[0])
+        if self._step_fn is None:
+            # one jitted program; jit's cache covers label-budget variation
+            self._step_fn = self._build_step()
         state, stats = self._step_fn(
             state, ll, lv, jnp.float32(1.0 / max(n, 1))
         )
@@ -448,9 +454,8 @@ class BigGraphKGTrainer:
 
     def evaluate(self, state: dict, label_list: np.ndarray) -> dict:
         ll, lv, n = self._shard_labels(label_list)
-        if self._eval_fn is None or getattr(self, "_eval_budget", 0) != ll.shape[0]:
-            self._eval_budget = ll.shape[0]
-            self._eval_fn = self._build_eval(ll.shape[0])
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval()
         loss, correct, count = np.asarray(
             self._eval_fn(state["params"], ll, lv)
         )
@@ -526,6 +531,16 @@ class BigGraphKGTrainer:
         the stats — zero host↔device traffic until the final history
         readback.  Returns (state, history) like ``fit``."""
         assert self._edges is not None, "call partition_graph first"
+        if not self.tx_shard_safe:
+            # cross-leaf optimizer transforms (global-norm clip, lamb) need
+            # GLOBAL norms; inside shard_map each device would compute them
+            # from its own shard, mis-clipping and silently de-replicating
+            # theta.  The per-step path applies tx OUTSIDE shard_map on
+            # global arrays (GSPMD handles cross-shard norms) — route there.
+            print("[big-graph] optimizer needs global norms — using the "
+                  "per-step path instead of the one-dispatch resident run")
+            return self.fit(state, label_list, epochs=epochs,
+                            pair_mode=pair_mode, seed=seed)
         ll = np.asarray(label_list, np.int32)[:, :3]
         n = len(ll)
         per = (n + self.D - 1) // self.D
@@ -665,8 +680,8 @@ class BigGraphKGTrainer:
             costs, corrects, counts = [], [], []
             for start in range(0, len(ep), L):
                 idx = order[start : start + L]
-                if len(idx) < L:  # wrap-pad to keep one compiled shape
-                    idx = np.concatenate([idx, order[: L - len(idx)]])
+                if len(idx) < L:  # cyclic wrap-pad to keep one compiled shape
+                    idx = np.resize(idx, L)
                 state, tr = self.train_step(state, ep[idx])
                 costs.append(tr["cost"])
                 corrects.append(tr["accuracy"] * L)
@@ -694,13 +709,36 @@ def _make_tx(config):
     return make_optimizer({"learning_rate": 0.01, **config})
 
 
+def _tx_shard_safe(config) -> bool:
+    """True when the configured optimizer chain is elementwise per-leaf and
+    therefore valid to apply inside shard_map on per-device shards (adam,
+    sgd, ... — anything without cross-leaf norms)."""
+    if config.get("gradient_clip"):
+        return False  # clip_by_global_norm needs the GLOBAL gradient norm
+    return str(config.get("optimizer", "adam")).lower() != "lamb"
+
+
 def from_kg_dataset(ds, info, config, mesh, axis: str = "data"):
     """Build a BigGraphKGTrainer from a loaded KG dataset (the same
-    ``ds/info`` the single-device ``KGBatcher`` consumes)."""
-    from kgcn_tpu.data.batcher import Batcher
+    ``ds/info`` the single-device ``KGBatcher`` consumes).
 
-    base = Batcher(ds, info, batch_size=1, seed=int(config.get("seed", 0)))
-    gb = base.make_batch(np.arange(1))
+    Reads the [C, E] COO adjacency straight off ``ds.adjs[0]`` — building a
+    Batcher here would run the native packer + ELL precompute over a graph
+    explicitly too big for one chip, then upload it whole, only to pull it
+    back to host for partitioning."""
+    adj = ds.adjs[0]  # per-channel (row, col, val) triples, whole-graph mode
+    C = len(adj)
+    E = max((len(ch[2]) for ch in adj), default=1) or 1
+    senders = np.zeros((C, E), np.int64)
+    receivers = np.zeros((C, E), np.int64)
+    weights = np.zeros((C, E), np.float32)
+    for c, (row, col, val) in enumerate(adj):
+        k = len(val)
+        # GraphBatch convention: receiver = row, sender = col
+        receivers[c, :k] = row
+        senders[c, :k] = col
+        weights[c, :k] = val
+
     trainer = BigGraphKGTrainer(
         num_nodes=int(info.all_node_num),
         channels=int(info.adj_channel_num),
@@ -712,11 +750,8 @@ def from_kg_dataset(ds, info, config, mesh, axis: str = "data"):
         gamma=float(config.get("kg_gamma", 0.1)),
         learning_rate=float(config.get("learning_rate", 0.01)),
         strategy=config.get("halo_strategy", "ring"),
-        node_mask=np.asarray(gb.graph.node_mask),
         tx=_make_tx(config),
+        tx_shard_safe=_tx_shard_safe(config),
     )
-    trainer.partition_graph(
-        np.asarray(gb.graph.senders), np.asarray(gb.graph.receivers),
-        np.asarray(gb.graph.edge_weights),
-    )
+    trainer.partition_graph(senders, receivers, weights)
     return trainer

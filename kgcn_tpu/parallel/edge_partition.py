@@ -67,24 +67,27 @@ def partition_edges(senders, receivers, weights, num_nodes: int,
     sb = s // v_loc
     off = (rb - sb) % D
 
-    groups = [[None] * D for _ in range(D)]
-    budget = 1
-    for d in range(D):
-        for o in range(D):
-            pick = (rb == d) & (off == o)
-            budget = max(budget, int(pick.sum()))
+    # single pass: stable-sort edges by (receiver block, offset) group key,
+    # then fill each group's slice — O(E log E) instead of O(D²·E) masks
+    key = rb * D + off
+    order = np.argsort(key, kind="stable")
+    counts = np.bincount(key, minlength=D * D)
+    budget = max(int(counts.max(initial=1)), 1)
     budget = ((budget + 127) // 128) * 128  # lane-round the static budget
 
     sl = np.zeros((D, D, budget), np.int32)
     rl = np.zeros((D, D, budget), np.int32)
     wl = np.zeros((D, D, budget), np.float32)
-    for d in range(D):
-        for o in range(D):
-            pick = (rb == d) & (off == o)
-            k = int(pick.sum())
-            sl[d, o, :k] = s[pick] % v_loc
-            rl[d, o, :k] = r[pick] % v_loc
-            wl[d, o, :k] = w[pick]
+    pos = 0
+    for g in range(D * D):
+        k = int(counts[g])
+        if k:
+            d, o = divmod(g, D)
+            sel = order[pos : pos + k]
+            sl[d, o, :k] = s[sel] % v_loc
+            rl[d, o, :k] = r[sel] % v_loc
+            wl[d, o, :k] = w[sel]
+            pos += k
     return PartitionedEdges(sl, rl, wl, v_loc)
 
 
@@ -124,6 +127,54 @@ def allgather_spmm_local(x_blk, s_d, r_d, w_d, axis: str):
     return acc
 
 
+def _compiled_spmm(mesh: Mesh, axis: str, strategy: str):
+    """One jitted shard_map program per (mesh, axis, strategy) — jit's own
+    cache then handles shape variation.  Rebuilding the closure per call
+    would defeat the compile cache entirely (every invocation re-traces and
+    re-compiles)."""
+    key = (mesh, axis, strategy)
+    fn = _SPMM_CACHE.get(key)
+    if fn is not None:
+        return fn
+    local = ring_spmm_local if strategy == "ring" else allgather_spmm_local
+
+    def body(x_blk, s_d, r_d, w_d):
+        return local(x_blk, s_d[0], r_d[0], w_d[0], axis)
+
+    fn = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    _SPMM_CACHE[key] = fn
+    return fn
+
+
+_SPMM_CACHE: dict = {}
+_DEVICE_CACHE: dict = {}  # id(part) -> (part, sl, rl, wl); part kept alive
+
+
+def _device_arrays(part: PartitionedEdges):
+    """Upload the static [D, D, E] edge partition once per PartitionedEdges
+    instead of on every call."""
+    ent = _DEVICE_CACHE.get(id(part))
+    if ent is not None and ent[0] is part:
+        return ent[1:]
+    arrs = (
+        jnp.asarray(part.senders_local),
+        jnp.asarray(part.receivers_local),
+        jnp.asarray(part.weights),
+    )
+    if len(_DEVICE_CACHE) >= 16:  # bound the pin on host/device memory
+        _DEVICE_CACHE.pop(next(iter(_DEVICE_CACHE)))
+    _DEVICE_CACHE[id(part)] = (part,) + arrs
+    return arrs
+
+
 def spmm_edge_partitioned(part: PartitionedEdges, x, mesh: Mesh,
                           axis: str = "data", strategy: str = "ring"):
     """Distributed ``out[r] = Σ w_e x[s_e]`` over the mesh.
@@ -131,21 +182,5 @@ def spmm_edge_partitioned(part: PartitionedEdges, x, mesh: Mesh,
     ``x``: [V, F] sharded row-blocks (or replicated host array; the shard_map
     in_spec slices it).  Returns [V, F] with the same block sharding.
     """
-    v_loc = part.v_local
-    sl = jnp.asarray(part.senders_local)
-    rl = jnp.asarray(part.receivers_local)
-    wl = jnp.asarray(part.weights)
-    local = ring_spmm_local if strategy == "ring" else allgather_spmm_local
-
-    def fn(x_blk, s_d, r_d, w_d):
-        return local(x_blk.reshape(v_loc, -1), s_d[0], r_d[0], w_d[0], axis)
-
-    return jax.jit(
-        shard_map(
-            fn,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=P(axis),
-            check_vma=False,
-        )
-    )(x, sl, rl, wl)
+    sl, rl, wl = _device_arrays(part)
+    return _compiled_spmm(mesh, axis, strategy)(x, sl, rl, wl)

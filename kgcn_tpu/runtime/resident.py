@@ -75,20 +75,32 @@ def supports_resident(ds: Dataset, *, allow_index_list: bool = False) -> bool:
     )
 
 
+def resident_flag(config) -> str:
+    """Normalise config ``device_resident`` to 'off' | 'force' | 'auto'.
+    Every engine must route through this (or :func:`resident_enabled`) —
+    ad-hoc comparisons drift (e.g. missing the string "off")."""
+    flag = config.get("device_resident", "auto")
+    if flag in (False, "false", "off", 0, "0"):
+        return "off"
+    if flag in (True, "true", "force", 1, "1"):
+        return "force"
+    return "auto"
+
+
 def resident_enabled(config, ds: Dataset, info: DatasetInfo, *,
                      allow_index_list: bool = False) -> bool:
     """THE gate, shared by every engine: config ``device_resident``
     true / false / "auto" (default).  ``true`` bypasses the HBM budget;
     ``auto`` enforces it; unsupported datasets always decline (with a
     message when the user asked explicitly)."""
-    flag = config.get("device_resident", "auto")
-    if flag in (False, "false", "off"):
+    flag = resident_flag(config)
+    if flag == "off":
         return False
     if not supports_resident(ds, allow_index_list=allow_index_list):
-        if flag is True:
+        if flag == "force":
             print("[resident] dataset unsupported; streaming batcher")
         return False
-    if flag is True:
+    if flag == "force":
         return True
     budget = int(config.get("resident_budget_bytes", DEFAULT_RESIDENT_BUDGET))
     return estimate_bytes(ds, _aligned_max_nodes(ds, info)) <= budget

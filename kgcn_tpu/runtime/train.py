@@ -358,7 +358,7 @@ class Trainer:
         # Keep per-step outputs on device and fetch once at epoch end — a
         # per-step float() would synchronise with the device every batch
         # (30 ms/step through a tunnel-attached TPU).
-        costs, n_total = [], 0
+        costs, valid_counts = [], []
         metric_list = []
         known = getattr(batcher, "valid_per_epoch", None)
         try:
@@ -369,12 +369,15 @@ class Trainer:
             state, cost_sum, metrics = self.train_step(state, batch)
             costs.append(cost_sum)
             if known is None:
-                n_total += int(np.asarray(batch.pad_mask).sum())
+                # keep the count on device — a per-step int() would block on
+                # a device→host sync every batch (the readback the comment
+                # above exists to avoid); fetched once below
+                valid_counts.append(jnp.sum(batch.pad_mask))
             metric_list.append(metrics)
-        if known is not None:
-            n_total = known
-        costs = jax.device_get(costs)
-        metric_list = jax.device_get(metric_list)
+        costs, metric_list, valid_counts = jax.device_get(
+            (costs, metric_list, valid_counts)
+        )
+        n_total = known if known is not None else int(np.sum(valid_counts))
         return state, float(np.sum(costs)) / max(n_total, 1), metric_list, n_total
 
     def _evaluate_resident(self, state: TrainState, batcher, key_prefix=""):
@@ -491,6 +494,7 @@ class Trainer:
         t0 = time.time()
 
         start_epoch = int(getattr(state, "epoch", 0) or 0)
+        last_epoch = start_epoch - 1  # last successfully completed epoch
         for epoch in range(start_epoch, epochs):
             state, train_cost, train_metrics, n_train = self.run_epoch(
                 state, train_batcher, shuffle=cfg.get("shuffle_data", True),
@@ -499,6 +503,7 @@ class Trainer:
             if not np.isfinite(train_cost):
                 log(f"[abort] non-finite training cost at epoch {epoch}")
                 break
+            last_epoch = epoch
             train_agg = aggregate_metrics(train_metrics, n_train, task, "training_")
 
             row = {"epoch": epoch, "training_cost": train_cost}
@@ -567,9 +572,11 @@ class Trainer:
                 params=tree["params"], batch_stats=tree["batch_stats"]
             )
             log(f"[restore] best epoch {best_epoch} (cost {best_cost:.6g})")
+        # record the ACTUAL last completed epoch: after an early stop or NaN
+        # abort a retrain must resume from there, not skip past the end
         ckpt.save_checkpoint(
             ckpt.ckpt_name(model_dir, "last", fold),
-            self.state_tree(state, epochs, best_cost),
+            self.state_tree(state, last_epoch, best_cost),
         )
         return state, {
             "history": history,

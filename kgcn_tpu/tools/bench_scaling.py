@@ -81,7 +81,7 @@ def bench_kg_step(D: int, V: int, E: int, dim: int, strategy: str,
     import jax.numpy as jnp
 
     ll_dev, lv_dev, n = bg._shard_labels(ll)
-    step = bg._build_step(ll_dev.shape[0])
+    step = bg._build_step()
     inv_n = jnp.float32(1.0 / max(n, 1))
     # warm TWO calls: a state-leaf aval mismatch would compile a second
     # executable on call 1 and silently pollute the timed region (the

@@ -355,3 +355,63 @@ def test_big_graph_step_preserves_shardings_and_compiles_once():
     assert len(row_sharded) >= 3, after
     # second step reuses the same compiled executable (no aval drift)
     state, _ = bg.train_step(state, ll)
+
+
+def test_big_graph_gradient_clip_routes_to_per_step_path(tmp_path):
+    """Cross-leaf optimizer transforms (global-norm clip) cannot run inside
+    shard_map — fit_resident must fall back to the per-step path."""
+    from kgcn_tpu.data import build_dataset
+    from kgcn_tpu.parallel.big_graph import from_kg_dataset, _tx_shard_safe
+    from kgcn_tpu.parallel.mesh import make_mesh
+    from kgcn_tpu.runtime.config import default_config
+
+    cfg = default_config()
+    cfg.update({"with_feature": False, "with_node_embedding": True,
+                "task": "link_prediction", "embedding_dim": 8,
+                "gradient_clip": 1.0, "mesh": {"data": 4}})
+    assert not _tx_shard_safe(cfg)
+    assert _tx_shard_safe({"optimizer": "adam"})
+    assert not _tx_shard_safe({"optimizer": "lamb"})
+
+    data = make_kg_dataset(num_entities=24, num_relations=1, seed=0)
+    ds, info = build_dataset(data, cfg)
+    mesh = make_mesh({"data": 4})
+    bg = from_kg_dataset(ds, info, cfg, mesh)
+    assert not bg.tx_shard_safe
+    state = bg.init_state(seed=0)
+    ll = np.asarray(ds.label_list[0], np.int32)
+    state, history = bg.fit_resident(state, ll, epochs=2, seed=0)
+    assert len(history) == 2
+    assert all(np.isfinite(h["train_cost"]) for h in history)
+
+
+def test_kg_loss_gradient_stable_at_extreme_scores():
+    """softplus form of the margin-logistic loss: finite gradients where the
+    literal -log(1/(1+exp(s))) transcription NaNs (score >= ~88)."""
+    import jax
+
+    from kgcn_tpu.data import build_dataset
+    from kgcn_tpu.models.kg import KGLinkPredictor
+    from kgcn_tpu.runtime.config import default_config
+
+    cfg = default_config()
+    cfg.update({"with_feature": False, "with_node_embedding": True,
+                "task": "link_prediction"})
+    data = make_kg_dataset(num_entities=10, num_relations=1, seed=0)
+    ds, info = build_dataset(data, cfg)
+    from kgcn_tpu.models.kg import KGBatcher
+
+    model = KGLinkPredictor(all_node_num=10, embedding_dim=8, channels=1)
+    kb = KGBatcher(ds, info, label_batch_size=16, seed=0)
+    batch = kb.init_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    # blow up the embedding scale so |score| >> 88
+    big = jax.tree_util.tree_map(lambda x: x * 1e3, variables["params"])
+
+    def loss(params):
+        out = model.apply({"params": params}, batch, train=True)
+        return out.cost_opt
+
+    val, grads = jax.value_and_grad(loss)(big)
+    assert np.isfinite(val)
+    assert all(np.isfinite(g).all() for g in jax.tree_util.tree_leaves(grads))
