@@ -578,7 +578,11 @@ def cmd_visualize(config) -> None:
     KG mode (``task: link_prediction`` or an edge ``visualize_type``) runs
     the knowledge-graph embedding-IG visualizer."""
     vt = str(config.get("visualize_type", "graph") or "graph")
-    if config.get("task") == "link_prediction" or vt.startswith("edge"):
+    # mirror the TRAIN dispatch (cmd_train line ~310): node-embedding
+    # whole-graph configs are KG runs even without an explicit task key
+    if (config.get("task") == "link_prediction"
+            or config.get("with_node_embedding")
+            or vt.startswith("edge")):
         from kgcn_tpu.explain.kg_ig import run_kg_visualization
 
         run_kg_visualization(config)

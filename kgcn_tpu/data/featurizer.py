@@ -217,7 +217,8 @@ def build_chem_dataset(
     data = {
         "feature": np.stack(feats) if n else np.zeros(
             (0, max_n,
-             FEATURE_DIM + int(use_electronegativity) + int(use_gasteiger))),
+             (75 if deepchem_compat else FEATURE_DIM)
+             + int(use_electronegativity) + int(use_gasteiger))),
         "adj": [
             (
                 np.stack(np.nonzero(a), axis=1).astype(np.int32),
@@ -274,26 +275,20 @@ def generate_pseudo_negatives(labels: np.ndarray, mask: np.ndarray,
     make = active - inactive
     if make <= 0:
         return labels, mask, 0
-    free = int((mask == 0).sum())
     rng = np.random.RandomState(seed)
+    free_cells = np.argwhere(mask == 0)
+    free = len(free_cells)
     if make >= free:
         # every remaining cell becomes a pseudo negative (chem.py:206-209)
         labels[mask == 0] = 0
         mask[mask == 0] = 1
         return labels, mask, free
-    added = 0
-    M, T = mask.shape
-    while added < make:
-        m = rng.randint(0, M, make - added)
-        t = rng.randint(0, T, make - added)
-        new = mask[m, t] == 0
-        m, t = m[new], t[new]
-        if len(m):
-            pairs = np.unique(np.stack([m, t]), axis=1)
-            mask[pairs[0], pairs[1]] = 1
-            labels[pairs[0], pairs[1]] = 0
-            added += pairs.shape[1]
-    return labels, mask, added
+    # exact sampling without replacement over the free cells — rejection
+    # sampling over the full M×T matrix degenerates when free ≈ make
+    pick = free_cells[rng.choice(free, size=make, replace=False)]
+    mask[pick[:, 0], pick[:, 1]] = 1
+    labels[pick[:, 0], pick[:, 1]] = 0
+    return labels, mask, make
 
 
 AMINO_ACIDS = "ACDEFGHIKLMNPQRSTVWY"

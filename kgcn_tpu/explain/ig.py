@@ -186,6 +186,31 @@ def integrated_gradients(
     )
 
 
+@partial(jax.jit, static_argnames=("model", "steps", "target", "label_index"))
+def _embedded_ig_core(model, variables, batch, *, steps, target,
+                      label_index):
+    """Module-level jitted core — a per-call ``@jax.jit`` closure would
+    retrace the grad-of-scan for EVERY sample.  The flax module is a frozen
+    (hashable) dataclass, so it keys the cache as a static argument."""
+    score_fn = make_target_score(target, label_index)
+    emb0 = model.apply(variables, batch.sequences, method=model.embedding)
+
+    def forward(emb):
+        out = model.apply(variables, batch, train=False, embedded=emb)
+        return score_fn(out.prediction, batch.labels)
+
+    grad_fn = jax.grad(forward)
+    scales = (jnp.arange(steps, dtype=jnp.float32) + 1.0) / steps
+
+    def body(acc, s):
+        return acc + grad_fn(emb0 * s), None
+
+    gsum, _ = jax.lax.scan(body, jnp.zeros_like(emb0), scales)
+    ig = (gsum / steps) * emb0
+    check = forward(emb0) - forward(jnp.zeros_like(emb0))
+    return emb0, ig, check
+
+
 def embedded_layer_ig(
     model,
     variables,
@@ -202,33 +227,14 @@ def embedded_layer_ig(
 
     Returns ``(embedded_layer [B,L,D], embedded_layer_IG, check)``.
     """
-    import jax
-
-    score_fn = make_target_score(target, label_index)
-    emb0 = model.apply(variables, batch.sequences, method=model.embedding)
-
-    def forward(emb):
-        out = model.apply(variables, batch, train=False, embedded=emb)
-        return score_fn(out.prediction, batch.labels)
-
-    grad_fn = jax.grad(forward)
-
-    @jax.jit
-    def core():
-        scales = (jnp.arange(steps, dtype=jnp.float32) + 1.0) / steps
-
-        def body(acc, s):
-            return acc + grad_fn(emb0 * s), None
-
-        gsum, _ = jax.lax.scan(body, jnp.zeros_like(emb0), scales)
-        ig = (gsum / steps) * emb0
-        check = forward(emb0) - forward(jnp.zeros_like(emb0))
-        return ig, check
-
-    ig, check_score = core()
+    emb0, ig, check_score = _embedded_ig_core(
+        model, variables, batch,
+        steps=steps, target=target, label_index=label_index,
+    )
+    ig = np.asarray(ig)
     return (
         np.asarray(emb0),
-        np.asarray(ig),
+        ig,
         {"check_score": float(check_score), "sum_of_IG": float(np.sum(ig))},
     )
 
@@ -274,6 +280,8 @@ def run_visualization(config) -> None:
     os.makedirs(outdir, exist_ok=True)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     target = config.get("visualize_type", "max")
+    if target == "graph":  # the reference's dispatch value (gcn.py:651) —
+        target = "max"     # it selects THIS path, not an IG target mode
     num = int(config.get("visualize_num", ds.num) or ds.num)
     steps = int(config.get("ig_divide_number", 100))
 
@@ -296,27 +304,38 @@ def run_visualization(config) -> None:
                 continue
             if target == "all":
                 for cls in range(pred2.shape[-1]):
-                    igs, check = integrated_gradients(
-                        apply_fn, variables, batch, steps=steps,
-                        target="index", label_index=cls,
+                    igs, check = _compute_igs(
+                        apply_fn, model, variables, batch, steps,
+                        "index", cls,
                     )
                     _dump_ig(outdir, i, f"class{cls}", batch, igs, check, info)
                 continue
             ig_target, label_index = "index", pred_cls
-        igs, check = integrated_gradients(
-            apply_fn, variables, batch, steps=steps, target=ig_target,
+        igs, check = _compute_igs(
+            apply_fn, model, variables, batch, steps, ig_target, label_index,
+        )
+        _dump_ig(outdir, i, target, batch, igs, check, info)
+
+
+def _compute_igs(apply_fn, model, variables, batch, steps, target,
+                 label_index):
+    """All modality IGs for one sample — per-input IG plus the
+    embedded-layer IG for sequence models (every target mode, including the
+    per-class 'all' loop)."""
+    igs, check = integrated_gradients(
+        apply_fn, variables, batch, steps=steps, target=target,
+        label_index=label_index,
+    )
+    if batch.sequences is not None and hasattr(model, "embedding"):
+        emb, emb_ig, emb_check = embedded_layer_ig(
+            model, variables, batch, steps=steps, target=target,
             label_index=label_index,
         )
-        if batch.sequences is not None and hasattr(model, "embedding"):
-            emb, emb_ig, emb_check = embedded_layer_ig(
-                model, variables, batch, steps=steps, target=ig_target,
-                label_index=label_index,
-            )
-            igs["embedded_layer"] = emb
-            igs["embedded_layer_IG"] = emb_ig
-            check["embedded_check_score"] = emb_check["check_score"]
-            check["embedded_sum_of_IG"] = emb_check["sum_of_IG"]
-        _dump_ig(outdir, i, target, batch, igs, check, info)
+        igs["embedded_layer"] = emb
+        igs["embedded_layer_IG"] = emb_ig
+        check["embedded_check_score"] = emb_check["check_score"]
+        check["embedded_sum_of_IG"] = emb_check["sum_of_IG"]
+    return igs, check
 
 
 def _dump_ig(outdir, i, tag, batch, igs, check, info) -> None:

@@ -125,8 +125,10 @@ def run_kg_visualization(config) -> None:
         ig = embedding_ig(model, variables, batch, triples[t:t + 1],
                           steps=steps)
         print(f"edge target = {t} => {h}-{tl}")
+        # the triple index keeps filenames unique — the reference's plain
+        # edgepred-{h}-{t} silently overwrites same-pair triples
         dump_kg_ig_csv(outdir, ig, ds.adjs[0], targets=[h, tl], hops=hops,
-                       prefix=f"edgepred-{h}-{tl}")
+                       prefix=f"edgepred-{h}-{tl}-{t}")
 
 
 def dump_kg_ig_csv(

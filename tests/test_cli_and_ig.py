@@ -158,3 +158,20 @@ def test_separate_validation_dataset(tmp_path):
     })
     result = cmd_train(cfg)
     assert "validation_cost" in result
+
+
+def test_visualize_type_graph_is_dispatch_value(workdir):
+    """visualize_type 'graph' is the reference's dispatch selector
+    (gcn.py:651), NOT an IG target mode — it must behave like the default."""
+    import json
+
+    from kgcn_tpu.cli.main import main
+
+    cfg = json.load(open(workdir / "config.json"))
+    cfg["visualize_type"] = "graph"
+    cfg["visualize_num"] = 2
+    cfg["ig_divide_number"] = 10
+    p = workdir / "config_vt.json"
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    main(["visualize", "--config", str(p)])

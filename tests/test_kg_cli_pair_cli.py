@@ -159,7 +159,9 @@ def test_kg_visualize_via_cli(tmp_path):
     data = make_kg_dataset(num_entities=20, num_relations=1, seed=0)
     joblib.dump(data, tmp_path / "kg.jbl")
     cfg = {
-        "dataset": str(tmp_path / "kg.jbl"), "task": "link_prediction",
+        # no "task" key: the with_node_embedding flag alone must route BOTH
+        # train and visualize to the KG path (mirrored dispatch)
+        "dataset": str(tmp_path / "kg.jbl"),
         "model.py": "kg_distmult", "epoch": 5, "batch_size": 1,
         "learning_rate": 0.05, "with_node_embedding": True,
         "with_feature": False, "embedding_dim": 8,
