@@ -108,7 +108,10 @@ def _report(config, ev, tag):
     n = max(ev["num"], 1)
     out = {f"{tag}_cost": ev["cost"]}
     for key, v in m.items():
-        if key.endswith("_count") and not key.endswith("correct_count"):
+        # top-k hit counters etc. — but NOT the bare aggregated '{tag}_count'
+        # (pad sum), whose ratio is always a meaningless 1.0
+        if (key.endswith("_count") and not key.endswith("correct_count")
+                and key != f"{tag}_count"):
             out[key.replace("_count", "")] = v / n
     if f"{tag}_accuracy" in m:
         out[f"{tag}_accuracy"] = m[f"{tag}_accuracy"]

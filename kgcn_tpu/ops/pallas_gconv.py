@@ -122,8 +122,12 @@ def _gconv_forward(adj, x, w, b):
     x_p = _pad_last(_pad_last(x, 1, N_p), 2, Fi_p)
     w_p = _pad_last(_pad_last(w, 1, Fi_p), 2, Fo_p)
     b_p = _pad_last(b, 1, Fo_p)
-    tile_n = min(N_p, 256)
-    tile_f = min(Fo_p, 256)
+    # tiles must DIVIDE the padded dims — the grid uses floor division, so a
+    # 384-row buffer with tile 256 would silently never write rows 256..383
+    tile_n = 256 if N_p % 256 == 0 else 128
+    tile_f = 256 if Fo_p % 256 == 0 else 128
+    tile_n = min(N_p, tile_n)
+    tile_f = min(Fo_p, tile_f)
     out = _gconv_call(adj_p, x_p, w_p, b_p, tile_n=tile_n, tile_f=tile_f)
     return out[:, :N, :Fout]
 

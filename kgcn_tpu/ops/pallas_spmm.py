@@ -78,9 +78,13 @@ def coo_to_ell_device(senders, receivers, weights, num_nodes: int,
     E = senders.shape[0]
     valid = weights != 0
     # slot of edge e within its receiver's list = rank of e among earlier
-    # edges with the same receiver
-    order = jnp.argsort(receivers, stable=True)
-    r_sorted = receivers[order]
+    # VALID edges with the same receiver.  Invalid (weight-0 padding) edges
+    # are sorted into a sentinel group so they never consume a slot —
+    # ranking them would push real edges past max_degree and drop them
+    # (the host-side coo_to_ell filters invalid edges the same way).
+    r_eff = jnp.where(valid, receivers.astype(jnp.int32), num_nodes)
+    order = jnp.argsort(r_eff, stable=True)
+    r_sorted = r_eff[order]
     first = jnp.searchsorted(r_sorted, r_sorted, side="left")
     slot_sorted = jnp.arange(E, dtype=jnp.int32) - first.astype(jnp.int32)
     slot = jnp.zeros((E,), jnp.int32).at[order].set(slot_sorted)
@@ -158,7 +162,11 @@ def spmm_pallas(senders, receivers, weights, x, num_nodes: int,
     kernel cannot lower on this backend; segment-sum fallback when x exceeds
     the VMEM budget)."""
     V, F = num_nodes, x.shape[1]
-    if V * _round_up(F, 128) * 4 > VMEM_X_BUDGET_BYTES:
+    # the ELL kernel's VMEM block and padding assume x has exactly
+    # num_nodes rows (out[v] gathers rows of the SAME block it writes);
+    # budget on x's true row count, and decline mismatched shapes
+    if (x.shape[0] != V
+            or x.shape[0] * _round_up(F, 128) * 4 > VMEM_X_BUDGET_BYTES):
         gathered = x[senders] * weights[:, None].astype(x.dtype)
         return jax.ops.segment_sum(gathered, receivers, num_segments=V)
     if max_degree is None:

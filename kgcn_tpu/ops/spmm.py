@@ -106,11 +106,15 @@ def spmm_multichannel(
             # would silently drop edges
             _warn_pallas_fallback()
         else:
-            # channel-flattened degree bound: each receiver can take up to
-            # C × max_degree flattened edges
-            md = max_degree * C if max_degree is not None else None
-            return spmm(flat_senders, flat_receivers, flat_weights, flat_x,
-                        num_nodes, backend="pallas", max_degree=md)
+            # per-channel kernel calls — the flattened [C·V, F] features
+            # would violate spmm_ell_pallas's x.rows == num_nodes invariant
+            # (channel ≥ 1 sender ids would gather past the VMEM block)
+            out = None
+            for c in range(C):
+                o = spmm(senders[c], receivers[c], weights[c], x[c],
+                         num_nodes, backend="pallas", max_degree=max_degree)
+                out = o if out is None else out + o
+            return out
     gathered = flat_x[flat_senders] * flat_weights[:, None].astype(flat_x.dtype)
     return jax.ops.segment_sum(gathered, flat_receivers, num_segments=num_nodes)
 

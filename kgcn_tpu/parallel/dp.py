@@ -144,6 +144,7 @@ class DPTrainer(Trainer):
 
     def _make_train_step(self):
         model, tx, axis = self.model, self.tx, self.axis
+        cast = self._cast
 
         def loss_fn(params, batch_stats, batch, rng):
             variables = {"params": params, "batch_stats": batch_stats}
@@ -154,7 +155,7 @@ class DPTrainer(Trainer):
             return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
 
         def local_step(params, batch_stats, opt_state, step, rng, batch):
-            batch = _local(batch)
+            batch = cast(_local(batch))  # honour precision: bfloat16
             d = jax.lax.axis_index(axis)
             local_rng = jax.random.fold_in(jax.random.fold_in(rng, step), d)
             grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
@@ -261,9 +262,10 @@ class DPTrainer(Trainer):
 
     def _make_eval_step(self):
         model, axis = self.model, self.axis
+        cast = self._cast
 
         def local_eval(params, batch_stats, batch):
-            batch = _local(batch)
+            batch = cast(_local(batch))
             out = model.apply(
                 {"params": params, "batch_stats": batch_stats}, batch,
                 train=False,

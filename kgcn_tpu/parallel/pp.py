@@ -163,6 +163,7 @@ class PPTrainer:
         self.axis = axis
         self.tx = optax.adam(learning_rate)
         self._step = None
+        self._logits_fn = None
 
     # -- state ------------------------------------------------------------
     def init_state(self, feature_dim: int, seed: int = 0):
@@ -189,9 +190,13 @@ class PPTrainer:
         stacks: x [M,mb,N,F], adj [M,mb,C,N,N], node_mask [M,mb,N],
         labels [M,mb,L], pad_mask [M,mb]."""
         M = self.cfg.microbatches
-        g = batch.graph.with_dense_adj()
+        g = batch.graph
+        # the pipeline needs the dense adjacency UNCONDITIONALLY —
+        # with_dense_adj() is a no-op when set_dense_path(False) is active
+        # (spmm_backend: xla/pallas configs), so materialise directly
+        dense = g.dense_adj if g.dense_adj is not None else g.dense_adjacency()
         x = g.nodes_batched()
-        adj = jnp.transpose(g.dense_adj, (1, 0, 2, 3))  # [C,B,N,N] → [B,C,N,N]
+        adj = jnp.transpose(dense, (1, 0, 2, 3))  # [C,B,N,N] → [B,C,N,N]
         nmask = g.mask_batched()
         return (
             _to_microbatches(jnp.asarray(x), M),
@@ -247,17 +252,20 @@ class PPTrainer:
         return self._step(state, *self.prepare_batch(batch))
 
     def logits(self, state, batch):
-        """Full-batch inference through the pipeline."""
+        """Full-batch inference through the pipeline (compiled once — a
+        fresh jit per call would retrace the whole pipeline program)."""
         cfg, axis = self.cfg, self.axis
-        forward = shard_map(
-            partial(pipeline_logits, cfg=cfg, axis=axis),
-            mesh=self.mesh,
-            in_specs=(P(axis), P(), P(), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
+        if self._logits_fn is None:
+            forward = shard_map(
+                partial(pipeline_logits, cfg=cfg, axis=axis),
+                mesh=self.mesh,
+                in_specs=(P(axis), P(), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+            self._logits_fn = jax.jit(forward)
         x, adj, nmask, labels, pad = self.prepare_batch(batch)
-        out = jax.jit(forward)(state["params"], x, adj, nmask)
+        out = self._logits_fn(state["params"], x, adj, nmask)
         return out.reshape(-1, cfg.label_dim)
 
 

@@ -87,8 +87,11 @@ class TPTrainer(Trainer):
             )
             return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
 
+        cast = self._cast
+
         @partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch: Batch):
+            batch = cast(batch)  # honour precision: bfloat16
             rng, sub = jax.random.split(state.rng)
             grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats, batch, sub

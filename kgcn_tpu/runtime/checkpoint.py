@@ -58,18 +58,9 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
 def save_sharded(path: str, tree) -> str:
     """Orbax save WITHOUT host gathering: sharded jax.Arrays (e.g. a
     big-graph embedding table spread over the mesh) are written shard-by-
-    shard by their owning devices/hosts."""
-    import orbax.checkpoint as ocp
-
-    path = os.path.abspath(path)
-    if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree)
-    ckptr.wait_until_finished()
-    return path
+    shard by their owning devices/hosts.  (Unlike ``save_checkpoint``, the
+    tree is NOT device_get — that is the whole point.)"""
+    return _save_orbax(path, tree)
 
 
 def load_sharded(path: str, target):

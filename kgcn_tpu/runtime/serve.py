@@ -233,6 +233,10 @@ class DynamicBatcher:
         slot = {"data": data, "n": n, "event": threading.Event(),
                 "result": None, "error": None}
         with self._cv:
+            if not self._alive:
+                # the worker is gone — enqueueing would block this caller
+                # forever on an event nothing will ever set
+                raise RuntimeError("DynamicBatcher is closed")
             self._queue.append(slot)
             self._cv.notify()
         slot["event"].wait()
@@ -281,7 +285,7 @@ class DynamicBatcher:
             vals = [d[k] for d in datas]
             if k in self._MERGE_AXIS0:
                 out[k] = np.concatenate(vals, axis=0)
-            elif k == "adj":
+            elif k in ("adj", "node"):
                 out[k] = [g for v in vals for g in v]
             elif k == "max_node_num":
                 out[k] = max(int(v) for v in vals)
@@ -289,20 +293,40 @@ class DynamicBatcher:
                 out[k] = vals[0]
         return out
 
+    # keys whose merged semantics are defined above; a request carrying any
+    # OTHER per-graph key (graph_index_list pairings, mol_info, ad-hoc modal
+    # matrices) must not coalesce — keeping vals[0] would misalign graphs
+    _SCALAR_KEYS = ("max_node_num", "node_num", "sequence_symbol_num")
+
+    def _coalescable(self, data) -> bool:
+        for k, v in data.items():
+            if k in self._MERGE_AXIS0 or k in ("adj", "node"):
+                continue
+            if k in self._SCALAR_KEYS or np.ndim(v) == 0:
+                continue
+            return False
+        return True
+
     def _run(self) -> None:
         while True:
             with self._cv:
                 while self._alive and not self._queue:
                     self._cv.wait()
-                if not self._alive:
+                if not self._alive and not self._queue:
                     return
             time.sleep(self.window)  # let concurrent arrivals land
             with self._cv:
                 batch, self._queue = self._queue, []
-            # group by schema, preserve arrival order inside a group
+            # group by schema, preserve arrival order inside a group;
+            # requests with unmergeable per-graph keys run alone
             groups: Dict[Any, list] = {}
-            for slot in batch:
-                groups.setdefault(self._schema(slot["data"]), []).append(slot)
+            for si, slot in enumerate(batch):
+                key = (
+                    self._schema(slot["data"])
+                    if self._coalescable(slot["data"])
+                    else ("solo", si)
+                )
+                groups.setdefault(key, []).append(slot)
             for slots in groups.values():
                 while slots:
                     take, total = [], 0

@@ -175,3 +175,70 @@ def test_embed_rows_matches_plain_gather_and_grad():
     np.testing.assert_array_equal(
         np.asarray(embed_rows(big, bidx)), np.asarray(big[bidx])
     )
+
+
+def test_pallas_gconv_tile_misaligned_n():
+    """N padded to a multiple of 128 but not 256 (e.g. 300→384): the grid
+    must still cover every row tile — floor division with tile 256 used to
+    silently never write rows 256..383."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        from kgcn_tpu.ops.pallas_gconv import gconv_fused
+        from kgcn_tpu.ops.spmm import gconv_dense
+
+        rng = np.random.RandomState(1)
+        C, B, N, Fi, Fo = 1, 1, 300, 5, 3
+        adj = jnp.asarray(rng.standard_normal((C, B, N, N)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((B, N, Fi)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((C, Fi, Fo)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((C, Fo)).astype(np.float32))
+        out = gconv_fused(adj, x, w, b)
+        want = gconv_dense(adj, x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-3, atol=1e-3)
+    finally:
+        pl.pallas_call = orig
+
+
+def test_coo_to_ell_device_ignores_zero_weight_edges():
+    """Zero-weight (padding) edges must not consume ELL slots — ranking them
+    pushed real edges past max_degree and silently dropped them."""
+    from kgcn_tpu.ops.ell import spmm_ell
+    from kgcn_tpu.ops.pallas_spmm import coo_to_ell_device
+
+    V, F = 6, 4
+    # receiver 2 has max_degree=2 real edges, but a zero-weight edge listed
+    # FIRST used to claim slot 0 and push the second real edge out
+    s = jnp.asarray(np.array([0, 1, 3, 0], np.int32))
+    r = jnp.asarray(np.array([2, 2, 2, 4], np.int32))
+    w = jnp.asarray(np.array([0.0, 1.0, 2.0, 3.0], np.float32))
+    x = jnp.asarray(np.arange(V * F, dtype=np.float32).reshape(V, F))
+    idx, wv = coo_to_ell_device(s, r, w, V, max_degree=2)
+    got = spmm_ell(idx, wv, x)
+    want = jax.ops.segment_sum(x[s] * w[:, None], r, num_segments=V)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_spmm_multichannel_pallas_backend_matches_xla():
+    from kgcn_tpu.ops.spmm import spmm_multichannel
+
+    rng = np.random.RandomState(2)
+    C, V, E, F = 3, 12, 40, 8
+    s = jnp.asarray(rng.randint(0, V, (C, E)).astype(np.int32))
+    r = jnp.asarray(rng.randint(0, V, (C, E)).astype(np.int32))
+    w = jnp.asarray(rng.rand(C, E).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
+    a_x = spmm_multichannel(s, r, w, x, V, backend="xla")
+    a_p = spmm_multichannel(s, r, w, x, V, backend="pallas")
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               rtol=1e-5, atol=1e-5)
+    # per-channel features [C, V, F] too
+    x3 = jnp.asarray(rng.standard_normal((C, V, F)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm_multichannel(s, r, w, x3, V, backend="pallas")),
+        np.asarray(spmm_multichannel(s, r, w, x3, V, backend="xla")),
+        rtol=1e-5, atol=1e-5)

@@ -193,3 +193,32 @@ def test_initialize_distributed_noop_when_unconfigured(monkeypatch):
 
     monkeypatch.setattr(_dist.global_state, "client", object(), raising=False)
     assert M.initialize_distributed({}) is False
+
+
+def test_dp_step_honours_bfloat16_precision():
+    """precision: bfloat16 must cast the payload on the DP step path (it
+    used to apply only on the resident epoch runner)."""
+    import jax.numpy as jnp
+
+    from kgcn_tpu.data import Batcher, build_dataset
+    from kgcn_tpu.data.synthetic import make_ring_dataset
+    from kgcn_tpu.models.registry import build_model
+    from kgcn_tpu.parallel.dp import DPTrainer, ShardedBatcher
+    from kgcn_tpu.parallel.mesh import make_mesh
+    from kgcn_tpu.runtime.config import default_config
+
+    cfg = default_config()
+    cfg.update({"task": "classification", "precision": "bfloat16",
+                "save_interval": 0})
+    data = make_ring_dataset(num_pairs=16, seed=0)
+    ds, info = build_dataset(data, cfg)
+    mesh = make_mesh({"data": 4})
+    model = build_model("gcn", info, cfg)
+    tr = DPTrainer(model, cfg, info, mesh=mesh)
+    assert tr.compute_dtype == jnp.bfloat16
+    sb = ShardedBatcher(Batcher(ds, info, 4, seed=0), 4)
+    state = tr.init_state(sb.make_batch(np.arange(16)), seed=0)
+    state, cost, metrics, n = tr.run_epoch(state, sb)
+    assert np.isfinite(cost)
+    ev = tr.evaluate(state, sb)
+    assert np.isfinite(ev["cost"])
