@@ -160,6 +160,8 @@ class Batcher:
         except RuntimeError:
             return None
         N = self.max_nodes
+        # NB: the node-count inference / mask / id padding below mirrors
+        # graph/batch.batch_graphs (the non-native path) — keep both in sync
         if ds.enabled_node_nums is not None:
             nn = np.asarray(ds.enabled_node_nums)[idx].astype(np.int32)
         elif ds.features is not None:
@@ -327,6 +329,21 @@ class Batcher:
             graph = graph.replace(ell_senders=ei, ell_weights=ew)
         return self._finish_batch(graph, idx, G, B)
 
+    def _pad_node_axis(self, x):
+        """Pad a [G, N_ds, ...] per-node array to the (possibly lane-rounded)
+        ``self.max_nodes`` — node_label/mask arrays carry the DATASET's node
+        count, which diverges from the batch padding once max_nodes is
+        rounded above 128 (e.g. 200 → 256)."""
+        if x is None:
+            return None
+        x = np.asarray(x)
+        pad = self.max_nodes - x.shape[1]
+        if pad <= 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[1] = (0, pad)
+        return np.pad(x, widths)
+
     def _finish_batch(self, graph, idx, G: int, B: int) -> Batch:
         ds = self.ds
 
@@ -361,10 +378,11 @@ class Batcher:
                 pad_rows(ds.mask_label[idx]) if ds.mask_label is not None else None
             ),
             node_label=(
-                pad_rows(ds.node_label[idx]) if ds.node_label is not None else None
+                pad_rows(self._pad_node_axis(ds.node_label[idx]))
+                if ds.node_label is not None else None
             ),
             mask_node_label=(
-                pad_rows(ds.mask_node_label[idx])
+                pad_rows(self._pad_node_axis(ds.mask_node_label[idx]))
                 if ds.mask_node_label is not None
                 else None
             ),

@@ -101,6 +101,17 @@ class GCNVectorModal(nn.Module):
         x = jax.nn.sigmoid(self.gconv(batch.graph.nodes, g))
         x = jax.nn.sigmoid(self.gdense(x, g))
         gh = self.gather(x, g)
+        if batch.vector_modal is None:
+            raise ValueError(
+                "gcn_vector_modal needs a 'vector_modal' entry in the "
+                "dataset (this batch carries none)"
+            )
+        if len(batch.vector_modal) != len(self.modal_encs):
+            raise ValueError(
+                f"dataset has {len(batch.vector_modal)} vector modalities "
+                f"but the model was built with {len(self.modal_encs)} — "
+                "zip would silently drop the extras"
+            )
         parts = [gh]
         for enc, v in zip(self.modal_encs, batch.vector_modal):
             parts.append(enc(v, train=train))

@@ -65,9 +65,10 @@ class GCNPairRanker(nn.Module):
         s0 = self.tower(pair.a, train)
         s1 = self.tower(pair.b, train)
         mask = pair.a.pad_mask
-        # RankNet: −log σ(s1 − s0)   (model_pair.py:140-142)
-        output = 1.0 / (1.0 + jnp.exp(s0 - s1))
-        cost = -mask * jnp.log(output[:, 0] + 1.0e-10)
+        # RankNet: −log σ(s1 − s0) (model_pair.py:140-142) in its
+        # gradient-stable softplus form — the literal 1/(1+exp(s0−s1))
+        # NaNs the backward once the score gap exceeds ~88 in float32
+        cost = mask * jax.nn.softplus((s0 - s1)[:, 0])
         correct = mask * (s1[:, 0] > s0[:, 0]).astype(jnp.float32)
         miss = mask * (s1[:, 0] < s0[:, 0]).astype(jnp.float32)
         metrics = {

@@ -102,8 +102,9 @@ class GIN(nn.Module):
 
 
 class GATModel(nn.Module):
-    """GraphDense+GAT ×3 with block readouts
-    (reference: example_model/model_gat.py:29-75)."""
+    """GraphDense+GAT ×3; block readouts collected after blocks 2 and 3
+    only — reference-exact (model_gat.py:44-54 appends ``block_out`` after
+    the second and third GAT, not the first)."""
 
     channels: int = 1
     label_dim: int = 2
@@ -191,9 +192,13 @@ class GCNMultitask(nn.Module):
         cost = pad * jnp.sum(mask_label * ce, axis=1)
         prediction = jax.nn.sigmoid(logits)
 
-        exact = pad * jnp.all((prediction > 0.5) == (labels > 0.5), axis=1).astype(
-            jnp.float32
-        )
+        # exact match over LABELED tasks only — the reference scores masked
+        # placeholder zeros too (model_multitask.py:90-93), deflating the
+        # metric whenever a missing task is predicted positive
+        task_hit = (prediction > 0.5) == (labels > 0.5)
+        exact = pad * jnp.all(
+            task_hit | (mask_label <= 0), axis=1
+        ).astype(jnp.float32)
         # per-task correctness (masked)
         task_correct = (
             ((prediction > 0.5) == (labels > 0.5)).astype(jnp.float32)

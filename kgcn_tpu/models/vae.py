@@ -154,8 +154,10 @@ class GCNVAE(nn.Module):
             wce = _weighted_bce(target_adj, adj_logits, self.pos_weight)
             cost = pad * (self.norm * jnp.mean(wce, axis=(1, 2, 3)))
             z_b = z.reshape(B, N, self.latent_dim).astype(jnp.float32)
-            kl_el = 1.0 + 2.0 * jnp.log(std_t.astype(jnp.float32)) - z_b**2 \
-                - std_t.astype(jnp.float32)
+            # same ε guard as the main-branch KL — log(0) when std
+            # underflows would make the |cost − kl| objective infinite
+            kl_el = 1.0 + 2.0 * jnp.log(std_t.astype(jnp.float32) + e) \
+                - z_b**2 - std_t.astype(jnp.float32)
             kl = (0.5 / 70.0) * jnp.mean(jnp.sum(kl_el, axis=1), axis=1)
             cost_opt = jnp.abs(jnp.mean(cost) - jnp.mean(kl))
             cost_sum = jnp.mean(cost)

@@ -140,6 +140,19 @@ def estimate_bytes(ds: Dataset, max_nodes: int) -> int:
     return total
 
 
+def _pad_node_axis(x, n: int):
+    """Pad a [G, N_ds, ...] per-node array's node axis up to ``n``."""
+    if x is None:
+        return None
+    x = np.asarray(x)
+    pad = n - x.shape[1]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[1] = (0, pad)
+    return np.pad(x, widths)
+
+
 def _aligned_max_nodes(ds: Dataset, info: DatasetInfo) -> int:
     n = int(ds.max_node_num or info.graph_node_num)
     if n > 128:  # lane-align, mirroring Batcher (MEASURED.md: 20x step win)
@@ -225,8 +238,9 @@ def build_device_dataset(
         node_ids=j(node_ids),
         labels=j(ds.labels),
         mask_label=j(ds.mask_label),
-        node_label=j(ds.node_label),
-        mask_node_label=j(ds.mask_node_label),
+        # per-node label arrays must match the (lane-aligned) node padding
+        node_label=j(_pad_node_axis(ds.node_label, N)),
+        mask_node_label=j(_pad_node_axis(ds.mask_node_label, N)),
         sequences=j(ds.sequences),
         sequences_len=j(ds.sequences_len),
         vector_modal=(

@@ -22,6 +22,10 @@ def least_confidence_sampling(probs: np.ndarray) -> np.ndarray:
 
 
 def margin_sampling(probs: np.ndarray) -> np.ndarray:
+    if probs.shape[1] < 2:
+        # single-class fit (possible when the labeled pool starts one-class):
+        # no margin exists — fall back to least-confidence
+        return least_confidence_sampling(probs)
     part = np.sort(probs, axis=1)
     return -(part[:, -1] - part[:, -2])  # small margin → high uncertainty
 

@@ -71,6 +71,15 @@ class GPOptimizer:
             return self.domain.sample(self.rng)
         X = np.stack(self.X)
         y = np.asarray(self.y)
+        # diverged trials report inf/NaN (e.g. NAS on a bad learning rate);
+        # a single such value would poison the GP normalisation and turn EI
+        # into all-NaN (argmax→0: silent random search).  Clamp them to a
+        # finite "very bad" score instead.
+        finite = np.isfinite(y)
+        if not finite.all():
+            worst = y[finite].max() if finite.any() else 0.0
+            span = (y[finite].max() - y[finite].min()) if finite.any() else 1.0
+            y = np.where(finite, y, worst + max(span, 1.0))
         mu_y, sd_y = y.mean(), y.std() + 1e-9
         yn = (y - mu_y) / sd_y
         K = _rbf(X, X) + self.noise * np.eye(len(X))
@@ -98,7 +107,9 @@ class GPOptimizer:
 
     @property
     def best(self):
-        i = int(np.argmin(self.y))
+        y = np.asarray(self.y, dtype=np.float64)
+        y = np.where(np.isfinite(y), y, np.inf)  # NaN would win argmin
+        i = int(np.argmin(y))
         return self.domain.decode(self.X[i]), self.y[i]
 
 

@@ -87,6 +87,13 @@ def search(train_ds, valid_ds, info, config, max_iter: int = 10, seed: int = 0,
     from kgcn_tpu.data import Batcher
     from kgcn_tpu.runtime.train import Trainer
 
+    # batchers are data-only — build once, not per trial (Batcher.__init__
+    # redoes the native edge concatenation + ELL precompute over the whole
+    # dataset; only the model/Trainer is per-trial state)
+    bs = int(config.get("batch_size", 10))
+    tb = Batcher(train_ds, info, bs, seed=seed)
+    vb = Batcher(valid_ds, info, bs)
+
     def objective(params: Dict) -> float:
         model = build_from_params(params, info)
         cfg = dict(config)
@@ -94,9 +101,6 @@ def search(train_ds, valid_ds, info, config, max_iter: int = 10, seed: int = 0,
         cfg["save_interval"] = 0
         trainer = Trainer(model, cfg, info,
                           tx=optax.adam(cfg["learning_rate"]))
-        bs = int(cfg.get("batch_size", 10))
-        tb = Batcher(train_ds, info, bs, seed=seed)
-        vb = Batcher(valid_ds, info, bs)
         state = trainer.init_state(
             tb.make_batch(np.arange(min(bs, train_ds.num))), seed=seed
         )

@@ -30,7 +30,7 @@ def test_pair_ranking_learns(tmp_path):
     pb = PairBatcher(ds, info, pairs, batch_size=10, seed=0)
     state = trainer.init_state(pb.make_batch(np.arange(10)), seed=0)
     accs = []
-    for _ in range(60):
+    for _ in range(90):
         state, cost, metrics, _ = trainer.run_epoch(state, pb)
         tot_c = sum(float(m["correct_count"]) for m in metrics)
         tot_n = sum(float(m["count"]) for m in metrics)

@@ -188,3 +188,33 @@ def test_node_label_metrics_ignore_padding(tmp_path):
     np.testing.assert_allclose(
         float(out.metrics["correct_count"]), man_correct, atol=1e-5)
     assert float(out.metrics["count"]) == G
+
+
+def test_node_label_above_lane_rounding(tmp_path):
+    """node_label/mask arrays must be re-padded to the lane-rounded node
+    count (200→256) like the features are — used to crash with a broadcast
+    shape mismatch."""
+    cfg = default_config()
+    cfg.update({"epoch": 1, "batch_size": 2, "save_interval": 0,
+                "task": "classification"})
+    G, N, real = 2, 200, 5
+    rng = np.random.RandomState(0)
+    dense = np.zeros((G, N, N))
+    feats = np.zeros((G, N, 4))
+    node_label = np.zeros((G, N, 2))
+    mask_nl = np.zeros((G, N), np.int64)
+    for g in range(G):
+        dense[g, :real, :real] = np.eye(real)
+        feats[g, :real] = rng.rand(real, 4)
+        node_label[g, np.arange(real), rng.randint(0, 2, real)] = 1.0
+        mask_nl[g, :real] = 1
+    data = {"feature": feats, "dense_adj": dense, "node_label": node_label,
+            "mask_node_label": mask_nl, "max_node_num": np.int64(N)}
+    ds, info = build_dataset(data, cfg)
+    model = build_model("gcn_node_label", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    tb = Batcher(ds, info, G, seed=0)
+    assert tb.max_nodes == 256  # lane-rounded
+    state = trainer.init_state(tb.make_batch(np.arange(G)), seed=0)
+    state, cost, _, _ = trainer.run_epoch(state, tb)
+    assert np.isfinite(cost)
