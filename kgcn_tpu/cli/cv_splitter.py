@@ -17,6 +17,8 @@ SPLITTABLE_ARRAYS = [
     "chemical_fp", "node",
 ]
 SPLITTABLE_LISTS = ["adj", "multi_dense_adj", "sequence_length"]
+# scipy CSR label matrices (dataset.py label_sparse schema) — row-sliceable
+SPLITTABLE_SPARSE = ["label_sparse", "mask_label_sparse"]
 
 
 def data_num(obj) -> int:
@@ -38,6 +40,10 @@ def split_jbl_obj(obj, idx):
             ]
         elif k in SPLITTABLE_LISTS and v is not None and len(v) == data_num(obj):
             out[k] = [v[i] for i in idx]
+        elif k in SPLITTABLE_SPARSE and v is not None:
+            # leaving the FULL sparse matrix in every fold would silently
+            # misalign labels with the subset examples
+            out[k] = v[idx]
         elif k == "mol_info" and isinstance(v, dict) and "obj_list" in v:
             out[k] = {
                 "obj_list": [v["obj_list"][i] for i in idx],

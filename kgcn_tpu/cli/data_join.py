@@ -22,7 +22,22 @@ def join_jbl_objs(objs):
             continue
         sample = next(v for v in vals if v is not None)
         if k in SPLITTABLE_ARRAYS and isinstance(sample, np.ndarray):
-            out[k] = np.concatenate([np.asarray(v) for v in vals if v is not None])
+            arrs = [np.asarray(v) for v in vals if v is not None]
+            # per-node arrays padded to each file's own max_node_num must be
+            # re-padded to the common max before concatenation
+            if k in ("feature", "dense_adj", "node_label",
+                     "mask_node_label") and len(
+                         {a.shape[1] for a in arrs if a.ndim >= 2}) > 1:
+                n_max = max(a.shape[1] for a in arrs)
+                padded = []
+                for a in arrs:
+                    widths = [(0, 0)] * a.ndim
+                    widths[1] = (0, n_max - a.shape[1])
+                    if k == "dense_adj" and a.ndim >= 3:
+                        widths[2] = (0, n_max - a.shape[2])
+                    padded.append(np.pad(a, widths))
+                arrs = padded
+            out[k] = np.concatenate(arrs)
         elif k in SPLITTABLE_LISTS or (k in SPLITTABLE_ARRAYS and isinstance(sample, list)):
             joined = []
             for v in vals:

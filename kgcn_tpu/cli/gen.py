@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def _setup(config):
+def _setup(config, with_batcher: bool = True):
     from kgcn_tpu.data import Batcher, load_jbl
     from kgcn_tpu.models.vae import GCNVAE
     from kgcn_tpu.runtime.train import Trainer
@@ -43,15 +43,19 @@ def _setup(config):
     )
     trainer = Trainer(model, config, info)
     bs = int(config["batch_size"])
-    batcher = Batcher(ds, info, bs, epsilon_dim=model.latent_dim,
-                      seed=int(config.get("seed", 0)))
+    batcher = None
+    if with_batcher:
+        # Batcher construction flattens the whole dataset's edge arrays —
+        # cmd_train builds its own subset batchers, so skip it there
+        batcher = Batcher(ds, info, bs, epsilon_dim=model.latent_dim,
+                          seed=int(config.get("seed", 0)))
     return ds, info, model, trainer, batcher
 
 
 def cmd_train(config):
     from kgcn_tpu.data import Batcher, split_dataset
 
-    ds, info, model, trainer, _ = _setup(config)
+    ds, info, model, trainer, _ = _setup(config, with_batcher=False)
     train_ds, valid_ds, _, _ = split_dataset(
         ds, config.get("validation_data_rate", 0.3),
         seed=int(config.get("seed", 0)),

@@ -159,7 +159,23 @@ def build_dataset(data: Dict[str, Any], config: Optional[Dict[str, Any]] = None,
     max_node_num = int(data.get("max_node_num", 0) or 0)
     if "multi_dense_adj" in data:
         raw = data["multi_dense_adj"]
-        enabled = np.array([max(len(np.asarray(m)) for m in lm) for lm in raw], np.int32)
+        # count ACTIVE rows (union over channels) like the dense_adj branch —
+        # len(m) is the padded matrix dimension, which would mark every
+        # padding node as enabled
+        enabled = np.array(
+            [
+                max(
+                    int(
+                        np.maximum.reduce(
+                            [(np.abs(np.asarray(m)).sum(axis=1) > 0) for m in lm]
+                        ).sum()
+                    ),
+                    1,
+                )
+                for lm in raw
+            ],
+            np.int32,
+        )
         adjs = [[_dense_to_coo(m) for m in lm] for lm in raw]
         if not max_node_num:
             max_node_num = int(max(np.asarray(m).shape[0] for lm in raw for m in lm))

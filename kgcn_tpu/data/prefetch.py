@@ -47,22 +47,46 @@ def prefetch(iterable: Iterable[T], size: int = 2) -> Iterator[T]:
         return
     q: "queue.Queue" = queue.Queue(maxsize=size)
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator — a plain q.put would block this thread forever,
+        # pinning `size` prepared device batches for the process lifetime
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer exited (normally, exception, or GC of the generator):
+        # release the producer and drop queued items
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -35,6 +35,7 @@ class NeighborSampler:
         self.fanout = int(fanout)
         self.hops = int(hops)
         self._rng = np.random.RandomState(seed)
+        self._auto_edge_budget = 1  # sticky budget; see sample_batch
         # CSR-style neighbour lists over the channel union (outgoing edges
         # from each node; reference KG adjacencies include reverse edges so
         # this covers both directions)
@@ -118,7 +119,21 @@ class NeighborSampler:
             need = max(need, sum(len(ch[0]) for ch in sub))
             all_nodes.append(nodes)
             all_edges.append(sub)
-        E = int(edge_budget or pad_edge_budget(need * B))
+        total_need = pad_edge_budget(need * B)
+        if edge_budget is not None:
+            E = int(edge_budget)
+            if total_need > E:
+                raise ValueError(
+                    f"edge_budget {E} < {total_need} edges sampled this "
+                    "batch — raise the budget (or omit it to auto-size)"
+                )
+        else:
+            # sticky auto budget: grow monotonically and REUSE, so batch
+            # shapes stabilise after the first few batches instead of
+            # recompiling the jitted step on every edge-count wiggle
+            if total_need > self._auto_edge_budget:
+                self._auto_edge_budget = total_need
+            E = self._auto_edge_budget
 
         import jax.numpy as jnp
 

@@ -252,31 +252,6 @@ _SCHEMA_KEYS = [
 ]
 
 
-def _iter_examples(path: str):
-    """Yield parsed Examples of the molecular schema; native C++ parser
-    (kgcn_tpu/native/tfrecord.cpp — framing + CRC32C + proto walk, parallel
-    over records) when built, pure-Python codec otherwise."""
-    from kgcn_tpu import native
-
-    res = None
-    try:
-        res = native.parse_tfrecord_arrays(path, _SCHEMA_KEYS)
-    except AttributeError:  # stale .so without the tfrecord entry points
-        res = None
-    if res is None:
-        for payload in read_tfrecord(path):
-            yield parse_example(payload)
-        return
-    n = len(res["size"][1]) - 1
-    for i in range(n):
-        ex = {}
-        for k in _SCHEMA_KEYS:
-            vals, off = res[k]
-            if off[i + 1] > off[i]:
-                ex[k] = vals[off[i]:off[i + 1]]
-        yield ex
-
-
 def _collect_examples_py(path, adjs, feats, labels, masks, sizes):
     """Python-codec collection (per-record dicts)."""
     max_n = feat_dim = 0
@@ -300,6 +275,8 @@ def _collect_examples_native(res, adjs, feats, labels, masks, sizes):
     """Vectorized collection from the native parser's flat arrays."""
     size_vals, size_off = res["size"]
     G = len(size_off) - 1
+    if G == 0:  # empty file — match the Python path's graceful (0, 0)
+        return 0, 0
     dims = size_vals.reshape(G, 2)
     rows, r_off = res["adj_row"]
     cols, _ = res["adj_column"]
@@ -370,10 +347,21 @@ def load_tfrecord_dataset(paths, config=None):
         "feature": features,
         "max_node_num": np.int64(max_n),
     }
-    if labels[0] is not None:
+    # labels must be present on ALL records or none — gating on labels[0]
+    # alone would silently drop labels (or crash np.stack on a mix)
+    n_lab = sum(1 for l in labels if l is not None and len(l))
+    if n_lab:
+        if n_lab != len(labels):
+            raise ValueError(
+                f"{n_lab}/{len(labels)} records carry a 'label' feature — "
+                "mixed labeled/unlabeled TFRecords are not joinable"
+            )
         data["label"] = np.stack(labels)
-        if masks[0] is not None:
+        n_msk = sum(1 for m in masks if m is not None and len(m))
+        if n_msk == len(masks):
             data["mask_label"] = np.stack(masks)
+        elif n_msk:
+            raise ValueError("mask_label present on only some records")
     ds, info = build_dataset(data, config or {})
     ds.enabled_node_nums = np.asarray(sizes, np.int32)
     return ds, info

@@ -31,9 +31,15 @@ def make_mesh(
     sizes = list(axes.values())
     if -1 in sizes:
         known = int(np.prod([s for s in sizes if s != -1]))
+        if known <= 0 or len(devices) % known != 0:
+            raise ValueError(
+                f"mesh {axes}: {len(devices)} devices do not divide evenly "
+                f"by the fixed axes (product {known}) — a floored -1 axis "
+                "would silently strand devices"
+            )
         sizes[sizes.index(-1)] = len(devices) // known
     total = int(np.prod(sizes))
-    if total > len(devices):
+    if total <= 0 or total > len(devices):
         raise ValueError(f"mesh {axes} needs {total} devices, have {len(devices)}")
     arr = np.asarray(devices[:total]).reshape(sizes)
     return Mesh(arr, tuple(axes.keys()))

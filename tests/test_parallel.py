@@ -222,3 +222,14 @@ def test_dp_step_honours_bfloat16_precision():
     assert np.isfinite(cost)
     ev = tr.evaluate(state, sb)
     assert np.isfinite(ev["cost"])
+
+
+def test_make_mesh_rejects_non_dividing_wildcard():
+    import pytest
+
+    from kgcn_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="divide"):
+        make_mesh({"model": 3, "data": -1})  # 8 % 3 != 0
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh({"model": 16, "data": 1})  # more than 8 devices

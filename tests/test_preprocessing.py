@@ -240,3 +240,57 @@ def test_generate_pseudo_negatives_balances():
     # already-balanced input is a no-op
     _, _, n0 = generate_pseudo_negatives(lab2, msk2, seed=2)
     assert n0 == 0
+
+
+def test_cv_splitter_slices_sparse_labels(tmp_path):
+    """label_sparse must be row-sliced per fold — the full matrix in every
+    fold silently misaligns labels."""
+    import scipy.sparse as sp
+
+    from kgcn_tpu.cli.cv_splitter import split_jbl_obj
+
+    n = 12
+    feats = np.random.RandomState(0).rand(n, 5, 3)
+    adjs = [
+        (np.array([[0, 1], [1, 0]]), np.ones(2, np.float32), (5, 5))
+        for _ in range(n)
+    ]
+    lab = sp.csr_matrix(np.eye(n, 4, dtype=np.float64))
+    obj = {"feature": feats, "adj": adjs, "label_sparse": lab,
+           "mask_label_sparse": sp.csr_matrix(np.ones((n, 4))),
+           "max_node_num": np.int64(5)}
+    idx = np.array([2, 5, 7])
+    sub = split_jbl_obj(obj, idx)
+    assert sub["label_sparse"].shape == (3, 4)
+    np.testing.assert_array_equal(
+        sub["label_sparse"].toarray(), lab[idx].toarray())
+    assert sub["mask_label_sparse"].shape == (3, 4)
+
+
+def test_data_join_repads_node_axis():
+    from kgcn_tpu.cli.data_join import join_jbl_objs
+
+    a = {"feature": np.ones((2, 4, 3)), "dense_adj": np.ones((2, 4, 4)),
+         "label": np.ones((2, 2)), "max_node_num": np.int64(4)}
+    b = {"feature": np.ones((3, 6, 3)), "dense_adj": np.ones((3, 6, 6)),
+         "label": np.ones((3, 2)), "max_node_num": np.int64(6)}
+    out = join_jbl_objs([a, b])
+    assert out["feature"].shape == (5, 6, 3)
+    assert out["dense_adj"].shape == (5, 6, 6)
+    assert int(out["max_node_num"]) == 6
+    # padding rows are zero
+    assert out["feature"][0, 4:].sum() == 0
+
+
+def test_multi_dense_adj_enabled_counts_active_rows():
+    from kgcn_tpu.data import build_dataset
+
+    G, N, real = 2, 8, 3
+    m = np.zeros((N, N))
+    m[:real, :real] = np.eye(real)
+    data = {"multi_dense_adj": [[m.copy(), m.copy()] for _ in range(G)],
+            "feature": np.ones((G, N, 2)),
+            "label": np.eye(2)[[0, 1]],
+            "max_node_num": np.int64(N)}
+    ds, info = build_dataset(data, {})
+    np.testing.assert_array_equal(ds.enabled_node_nums, [real, real])
