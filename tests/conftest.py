@@ -12,12 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_PLATFORM = os.environ.get("KGCN_TEST_PLATFORM", "cpu")
+os.environ.setdefault("JAX_PLATFORMS", _PLATFORM)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _PLATFORM)
 # Numerical tests compare against NumPy float32 references.
 jax.config.update("jax_default_matmul_precision", "highest")
 
-assert jax.default_backend() == "cpu"
+if _PLATFORM == "cpu":
+    assert jax.default_backend() == "cpu"
