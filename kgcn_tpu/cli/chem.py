@@ -115,6 +115,15 @@ def main(argv=None):
     if args.tfrecords:
         from kgcn_tpu.data.tfrecord import example_from_graph, write_tfrecord
 
+        dropped = [k for k in ("sequence", "chemical_fp", "vector_modal",
+                               "mol_info") if k in data]
+        if dropped:
+            print(f"[WARN] --tfrecords keeps only adjacency/feature/label "
+                  f"(the reference's record schema) — dropping {dropped}; "
+                  "use the jbl output to keep them")
+        d = os.path.dirname(args.output)
+        if d:
+            os.makedirs(d, exist_ok=True)
         recs = []
         n = len(data["adj"])
         for i in range(n):
@@ -125,7 +134,9 @@ def main(argv=None):
             mask = data.get("mask_label")
             recs.append(
                 example_from_graph(
-                    dense, data["feature"][i],
+                    # slice to the TRUE atom count so the record's `size`
+                    # (read back as enabled_node_nums) is not the pad limit
+                    dense, data["feature"][i][: shape[0]],
                     label=lab[i] if lab is not None else None,
                     mask_label=mask[i] if mask is not None else None,
                 )

@@ -39,6 +39,10 @@ ATOMIC_WEIGHTS = {
 _ELEMENT_RE = re.compile(
     "|".join(sorted(ATOMIC_WEIGHTS, key=len, reverse=True))
 )
+# Outside brackets only the SMILES organic subset may appear — matching the
+# full element table there misreads "In1cccc1" as indium and "Sn1..." as tin
+# (those spellings can only mean I+n / S+n unbracketed).
+_ORGANIC_RE = re.compile(r"Cl|Br|[BCNOPSFI]")
 # Organic-subset aromatic atoms appear lowercase outside brackets.
 _AROMATIC = {"b": "B", "c": "C", "n": "N", "o": "O", "p": "P", "s": "S"}
 
@@ -62,11 +66,11 @@ def smiles_atoms(smiles: str) -> List[str]:
             if m:
                 sym = m.group(0)
                 sym = _AROMATIC.get(sym, sym)
-                if sym != "H" or body.startswith("H"):
-                    atoms.append(sym)
+                # explicit [H] counts as an atom node (GetNumAtoms does too)
+                atoms.append(sym)
             i = j + 1
             continue
-        m = _ELEMENT_RE.match(smiles, i)
+        m = _ORGANIC_RE.match(smiles, i)
         if m and ch.isupper():
             sym = m.group(0)
             if sym == "H":

@@ -39,10 +39,22 @@ def _save_json(path: str, payload: Dict[str, Any]) -> None:
 
 
 def save_prediction(filename: str, prediction_data) -> None:
-    """CSV prediction dump (reference: gcn.py:59-81)."""
+    """CSV prediction dump (reference: gcn.py:59-81); dict-valued
+    predictions (VAE-style models) go to a joblib file instead — a dict
+    has no CSV row form."""
     d = os.path.dirname(filename)
     if d:
         os.makedirs(d, exist_ok=True)
+    if isinstance(prediction_data, dict):
+        import joblib
+
+        base, _ = os.path.splitext(filename)
+        path = base + ".jbl"
+        joblib.dump(
+            {k: np.asarray(v) for k, v in prediction_data.items()}, path
+        )
+        print(f"[SAVE] {path} (dict prediction)")
+        return
     pred = np.asarray(prediction_data)
     print(f"[SAVE] {filename}")
     with open(filename, "w") as fp:
@@ -312,7 +324,7 @@ def cmd_train(config) -> Dict[str, Any]:
         if preloaded[0].label_list is not None:
             return cmd_train_kg(config, *preloaded)
     if config.get("validation_dataset"):
-        train_ds, info = _prepare(config)
+        train_ds, info = preloaded if preloaded is not None else _prepare(config)
         valid_ds, valid_info = _prepare(config, dataset_key="validation_dataset")
         info.graph_node_num = max(info.graph_node_num, valid_info.graph_node_num)
         valid_ds.max_node_num = train_ds.max_node_num = max(
@@ -395,7 +407,8 @@ def cmd_train(config) -> Dict[str, Any]:
         if vb is not None and valid_ds.labels is not None and task not in (
             "regression", "regression_gmfe", "link_prediction"
         ):
-            plots.plot_auc(config, valid_ds.labels, np.array(ev["prediction"]))
+            plots.plot_auc(config, valid_ds.labels, np.array(ev["prediction"]),
+                           mask_label=valid_ds.mask_label)
     return result
 
 
@@ -424,6 +437,11 @@ def cmd_train_cv(config) -> Dict[str, Any]:
         from kgcn_tpu.data import Batcher
 
         test_b = Batcher(test_ds, info, int(config["batch_size"]))
+        if config.get("mesh"):
+            # DPTrainer's shard_mapped eval needs [D, ...]-stacked batches
+            from kgcn_tpu.parallel.dp import ShardedBatcher
+
+            test_b = ShardedBatcher(test_b, trainer.mesh.shape["data"])
         ev = trainer.evaluate(state, test_b, "test_")
         entry = {
             "fold": fold,

@@ -223,7 +223,11 @@ def build_chem_dataset(
             (
                 np.stack(np.nonzero(a), axis=1).astype(np.int32),
                 a[np.nonzero(a)].astype(np.float32),
-                (max_n, max_n),
+                # the COO shape carries the TRUE atom count (the reference
+                # does the same) — build_dataset reads enabled_node_nums
+                # from it; writing the padding limit here would mark every
+                # padding row as a valid node
+                a.shape,
             )
             for a in adjs
         ],

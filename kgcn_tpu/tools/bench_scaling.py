@@ -28,6 +28,7 @@ def bench_one(D: int, V: int, E: int, F: int, strategy: str, iters: int = 20):
     )
     from kgcn_tpu.parallel.mesh import make_mesh
 
+    V = ((V + D - 1) // D) * D  # partition_edges needs V % D == 0
     rng = np.random.RandomState(0)
     s = rng.randint(0, V, E).astype(np.int32)
     r = rng.randint(0, V, E).astype(np.int32)

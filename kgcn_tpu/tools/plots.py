@@ -39,8 +39,11 @@ def plot_cost(config, history, name: str = "") -> str:
     return out
 
 
-def plot_auc(config, labels, prediction, name: str = "") -> str:
-    """Micro/macro ROC curves (reference: kgcn/make_plots.py:70-134)."""
+def plot_auc(config, labels, prediction, name: str = "",
+             mask_label=None) -> str:
+    """Micro/macro ROC curves (reference: kgcn/make_plots.py:70-134).
+    ``mask_label`` excludes unmeasured (masked, NaN→0-filled) multitask
+    cells — scoring them as negatives would bias every per-task curve."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -52,11 +55,17 @@ def plot_auc(config, labels, prediction, name: str = "") -> str:
     pred = np.asarray(prediction)
     if pred.ndim == 3:
         pred = pred[..., 1]
+    mask = None if mask_label is None else np.asarray(mask_label)
     fig, ax = plt.subplots()
     for c in range(labels.shape[1]):
-        if len(np.unique(labels[:, c])) < 2:
+        keep = (
+            slice(None) if mask is None or mask.ndim < 2
+            else mask[:, c] > 0
+        )
+        yl, yp = labels[keep, c], pred[keep, c]
+        if len(np.unique(yl)) < 2:
             continue
-        fpr, tpr, _ = roc_curve(labels[:, c], pred[:, c])
+        fpr, tpr, _ = roc_curve(yl, yp)
         ax.plot(fpr, tpr, label=f"class {c} (AUC={auc(fpr, tpr):.3f})")
     ax.plot([0, 1], [0, 1], "k--", lw=0.5)
     ax.set_xlabel("FPR")

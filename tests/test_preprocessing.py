@@ -294,3 +294,15 @@ def test_multi_dense_adj_enabled_counts_active_rows():
             "max_node_num": np.int64(N)}
     ds, info = build_dataset(data, {})
     np.testing.assert_array_equal(ds.enabled_node_nums, [real, real])
+
+
+def test_smiles_tokenizer_organic_subset():
+    """Unbracketed two-letter matches are limited to Cl/Br — 'In1cccc1'
+    means I + aromatic n, never indium."""
+    from kgcn_tpu.cli.chem_summary import smiles_atoms
+
+    assert smiles_atoms("In1cccc1") == ["I", "N", "C", "C", "C", "C"]
+    assert smiles_atoms("Sc1ccccc1") == ["S", "C", "C", "C", "C", "C", "C"]
+    assert smiles_atoms("ClCCBr") == ["Cl", "C", "C", "Br"]
+    assert smiles_atoms("[Sn](C)(C)C") == ["Sn", "C", "C", "C"]
+    assert smiles_atoms("[nH]1cccc1") == ["N", "C", "C", "C", "C"]

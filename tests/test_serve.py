@@ -281,3 +281,30 @@ def test_merge_concatenates_sequence_lengths():
     merged = db._merge([d1, d2])
     assert merged["sequence"].shape == (3, 6)
     np.testing.assert_array_equal(merged["sequence_length"], [5, 6, 3])
+
+
+def test_unmergeable_requests_run_solo():
+    """Requests carrying per-graph keys without merge semantics (node lists
+    merge; graph_index_list does not) must not coalesce."""
+    from kgcn_tpu.runtime.serve import DynamicBatcher
+
+    db = object.__new__(DynamicBatcher)
+    ok = payload_to_data({
+        "feature": np.zeros((1, 4, 3)).tolist(),
+        "dense_adj": np.eye(4)[None].tolist(),
+        "max_node_num": 4,
+    })
+    assert db._coalescable(ok)
+    with_pairs = dict(ok)
+    with_pairs["graph_index_list"] = [(0, 0)]
+    assert not db._coalescable(with_pairs)
+    # node-embedding-mode requests merge (list concat)
+    node_mode = {"adj": ok["dense_adj"], "node": [np.arange(4, dtype=np.int32)],
+                 "max_node_num": 4}
+    d = payload_to_data({"max_node_num": 4})
+    node_data = {**d, "adj": [[(np.array([[0, 1], [1, 0]]), np.ones(2),
+                                (4, 4))]],
+                 "node": [np.arange(4, dtype=np.int32)]}
+    assert db._coalescable(node_data)
+    merged = db._merge([node_data, node_data])
+    assert len(merged["node"]) == 2 and len(merged["adj"]) == 2
