@@ -23,7 +23,9 @@ def read_triples(paths) -> List[Tuple[str, str, str]]:
     for path in paths:
         with open(path) as f:
             for line in f:
-                parts = line.rstrip("\n").split("\t")
+                # rstrip CRLF too — a Windows-edited TSV would otherwise
+                # split entities into phantom 'name\r' vocabulary ids
+                parts = line.rstrip("\r\n").split("\t")
                 if len(parts) >= 3:
                     triples.append((parts[0], parts[1], parts[2]))
     return triples

@@ -29,8 +29,19 @@ def run_trial(base_config, params) -> float:
     for k in list(config):
         if k.startswith("save_result") or k.startswith("save_info"):
             config[k] = None
-    result = cmd_train(config)
-    return float(result.get("validation_cost", np.inf))
+    try:
+        result = cmd_train(config)
+    except Exception as e:
+        # a diverged/raising trial must not abort the whole HPO run and
+        # discard completed trials (the reference isolated each trial in a
+        # subprocess for this reason); the GP clamps inf to "very bad"
+        print(f"[opt] trial failed ({type(e).__name__}: {e}) — scoring inf")
+        return float(np.inf)
+    if "validation_cost" in result:
+        return float(result["validation_cost"])
+    if "ranking_accuracy" in result:  # KG runs report accuracy, not cost
+        return -float(result["ranking_accuracy"])
+    return float(np.inf)
 
 
 def main(argv=None):

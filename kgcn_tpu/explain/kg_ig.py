@@ -120,6 +120,16 @@ def run_kg_visualization(config) -> None:
     outdir = config.get("visualize_path", "./visualization/")
     steps = int(config.get("ig_divide_number", 30))
     hops = int(config.get("graph_distance", 2))
+    # kgcn-tpu-kg saves an id→name vocabulary precisely for these CSVs
+    node_names = None
+    try:
+        import joblib
+
+        raw = joblib.load(config["dataset"])
+        if isinstance(raw, dict):
+            node_names = raw.get("node_vocab")
+    except Exception:
+        pass
     for t in targets:
         h, r, tl = (int(x) for x in triples[t])
         ig = embedding_ig(model, variables, batch, triples[t:t + 1],
@@ -128,6 +138,7 @@ def run_kg_visualization(config) -> None:
         # the triple index keeps filenames unique — the reference's plain
         # edgepred-{h}-{t} silently overwrites same-pair triples
         dump_kg_ig_csv(outdir, ig, ds.adjs[0], targets=[h, tl], hops=hops,
+                       node_names=node_names,
                        prefix=f"edgepred-{h}-{tl}-{t}")
 
 

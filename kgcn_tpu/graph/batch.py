@@ -162,6 +162,7 @@ class GraphBatch:
             nodes=cast(self.nodes),
             dense_adj=cast(self.dense_adj),
             ell_weights=cast(self.ell_weights),
+            edge_valid=cast(self.edge_valid),
         )
 
     def with_dense_adj(self) -> "GraphBatch":

@@ -84,7 +84,10 @@ def pack_edges(rows, cols, vals, block_off, block_len, n_graph, n_channel,
         _ptr(senders), _ptr(receivers), _ptr(weights), _ptr(n_edge),
     )
     if rc != 0:
-        raise RuntimeError("edge budget exceeded in native pack_edges")
+        raise RuntimeError(
+            "edge budget exceeded in native pack_edges" if rc == -1
+            else "node index out of range in native pack_edges"
+        )
     return senders, receivers, weights, n_edge
 
 

@@ -57,6 +57,14 @@ int pack_edges(const int32_t* rows, const int32_t* cols, const float* vals,
       const float* bv = vals + block_off[b];
       const int32_t base = static_cast<int32_t>(g * max_nodes);
       for (int64_t e = 0; e < len; ++e) {
+        // bounds check mirrors the Python path (graph/batch.py): an index
+        // >= max_nodes offset into graph g+1's block would silently
+        // aggregate across graph boundaries
+        if (br[e] < 0 || br[e] >= max_nodes || bc[e] < 0 ||
+            bc[e] >= max_nodes) {
+          rc[c] = -2;
+          return;
+        }
         r[off + e] = br[e] + base;  // receiver = row (A·X convention)
         s[off + e] = bc[e] + base;  // sender   = col
         w[off + e] = bv[e];
@@ -76,7 +84,7 @@ int pack_edges(const int32_t* rows, const int32_t* cols, const float* vals,
     pack_channel(0);
   }
   for (int64_t c = 0; c < n_channel; ++c)
-    if (rc[c] != 0) return -1;
+    if (rc[c] != 0) return rc[c];  // -1 budget overflow, -2 index OOR
   return 0;
 }
 
@@ -115,21 +123,27 @@ void gather_pad_features(const float* features, const int64_t* idx,
 }
 
 // crc32c (Castagnoli) — used by the native tfrecord reader path.
-uint32_t crc32c_native(const uint8_t* data, int64_t len) {
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+namespace {
+struct Crc32cTable {
+  uint32_t t[256];
+  Crc32cTable() {
     for (uint32_t n = 0; n < 256; ++n) {
       uint32_t c = n;
       for (int k = 0; k < 8; ++k)
         c = (c & 1) ? 0x82F63B78u ^ (c >> 1) : c >> 1;
-      table[n] = c;
+      t[n] = c;
     }
-    init = true;
   }
+};
+}  // namespace
+
+uint32_t crc32c_native(const uint8_t* data, int64_t len) {
+  // C++11 magic static: thread-safe one-time init (ctypes releases the GIL,
+  // so concurrent callers are real; a bare check-then-write table raced)
+  static const Crc32cTable table;
   uint32_t crc = 0xFFFFFFFFu;
   for (int64_t i = 0; i < len; ++i)
-    crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    crc = table.t[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
   return crc ^ 0xFFFFFFFFu;
 }
 

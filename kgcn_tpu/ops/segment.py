@@ -81,6 +81,9 @@ def segment_softmax(logits, segment_ids, num_segments: int, mask=None):
     ``mask``: optional [E] float/bool; masked-out entries get probability 0.
     """
     neg = jnp.asarray(-1e30, logits.dtype)
+    if mask is not None and mask.ndim < logits.ndim:
+        # [E] mask against [E, H] logits: align on the edge axis
+        mask = mask.reshape(mask.shape + (1,) * (logits.ndim - mask.ndim))
     masked = logits if mask is None else jnp.where(mask > 0, logits, neg)
     seg_max = segment_max(masked, segment_ids, num_segments)
     # Empty segments produce -inf max; clamp so exp() stays finite.

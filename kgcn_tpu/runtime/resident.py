@@ -181,8 +181,18 @@ def build_device_dataset(
     for g, chans in enumerate(ds.adjs):
         for c, (r, cc, v) in enumerate(chans):
             k = len(r)
-            receivers[g, c, :k] = np.asarray(r, np.int32)
-            senders[g, c, :k] = np.asarray(cc, np.int32)
+            r = np.asarray(r, np.int32)
+            cc = np.asarray(cc, np.int32)
+            if k and (r.max() >= N or cc.max() >= N):
+                # gather_batch offsets by b·N — an out-of-range index would
+                # silently bleed into the neighbouring graph's block (the
+                # streaming batch_graphs path hard-errors identically)
+                raise ValueError(
+                    f"graph {g} channel {c} has node index "
+                    f"{int(max(r.max(), cc.max()))} >= max_nodes {N}"
+                )
+            receivers[g, c, :k] = r
+            senders[g, c, :k] = cc
             weights[g, c, :k] = np.asarray(v, np.float32)
             n_edge[g, c] = k
 

@@ -242,3 +242,25 @@ def test_spmm_multichannel_pallas_backend_matches_xla():
         np.asarray(spmm_multichannel(s, r, w, x3, V, backend="pallas")),
         np.asarray(spmm_multichannel(s, r, w, x3, V, backend="xla")),
         rtol=1e-5, atol=1e-5)
+
+
+def test_segment_softmax_multihead_mask():
+    """[E, H] logits with an [E] mask — documented but previously broadcast
+    along the wrong axis."""
+    from kgcn_tpu.ops.segment import segment_softmax
+
+    rng = np.random.RandomState(0)
+    E, H, S = 10, 4, 3
+    logits = jnp.asarray(rng.standard_normal((E, H)).astype(np.float32))
+    seg = jnp.asarray(rng.randint(0, S, E).astype(np.int32))
+    mask = jnp.asarray((rng.rand(E) > 0.3).astype(np.float32))
+    out = segment_softmax(logits, seg, S, mask=mask)
+    assert out.shape == (E, H)
+    out = np.asarray(out)
+    m = np.asarray(mask)
+    assert (out[m == 0] == 0).all()
+    for s in range(S):
+        sel = (np.asarray(seg) == s) & (m > 0)
+        if sel.any():
+            np.testing.assert_allclose(out[sel].sum(axis=0),
+                                       np.ones(H), rtol=1e-5)

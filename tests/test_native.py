@@ -219,3 +219,15 @@ def test_native_rejects_adversarial_varint_lengths(tmp_path, _built):
     p2.write_bytes(frame)
     with pytest.raises(ValueError, match="malformed"):
         native.parse_tfrecord_arrays(str(p2), ["feature"])
+
+
+def test_native_pack_edges_rejects_out_of_range(_built):
+    """Out-of-range node indices must error like the Python path, not bleed
+    into the next graph's block."""
+    rows = np.array([0, 5], np.int32)  # 5 >= max_nodes 4
+    cols = np.array([1, 0], np.int32)
+    vals = np.ones(2, np.float32)
+    off = np.array([0], np.int64)
+    ln = np.array([2], np.int64)
+    with pytest.raises(RuntimeError, match="out of range"):
+        native.pack_edges(rows, cols, vals, off, ln, 1, 1, 4, 128)
