@@ -73,9 +73,6 @@ def smiles_atoms(smiles: str) -> List[str]:
         m = _ORGANIC_RE.match(smiles, i)
         if m and ch.isupper():
             sym = m.group(0)
-            if sym == "H":
-                i += 1
-                continue
             atoms.append(sym)
             i += len(sym)
             continue

@@ -20,13 +20,27 @@ def _setup(config, with_batcher: bool = True):
     from kgcn_tpu.runtime.train import Trainer
 
     ds, info = load_jbl(config["dataset"], config)
-    link_only = config.get("model") in ("gcn_vae_onlylink", "vae_onlylink")
+    _ONLYLINK = ("gcn_vae_onlylink", "vae_onlylink",
+                 "example_model.model_vae_onlylink:VAE")
+    # accept the canonical "model.py" key (and its reference alias) as well
+    # as the short "model" key; default_config injects model.py="gcn", so
+    # either key naming a link-only model wins
+    link_only = any(
+        str(config.get(k)) in _ONLYLINK for k in ("model.py", "model")
+    )
     pos_weight, norm = 1.0, 1.0
     if link_only:
-        # per-dataset edge-density statistics (reference: gcn_gen.py:51-74)
-        num_all = float(ds.max_node_num) ** 2
+        # per-dataset edge-density statistics from each graph's TRUE node
+        # count (reference: gcn_gen.py:51-74 uses a[2][0] per graph —
+        # the padded max_node_num² would inflate pos_weight several-fold)
         pw, nm = [], []
-        for adj in ds.adjs:
+        for g, adj in enumerate(ds.adjs):
+            n = (
+                float(ds.enabled_node_nums[g])
+                if ds.enabled_node_nums is not None
+                else float(ds.max_node_num)
+            )
+            num_all = n * n
             for (_row, _col, val) in adj:
                 num_pos = float(len(val))
                 num_neg = num_all - num_pos

@@ -597,10 +597,16 @@ def cmd_visualize(config) -> None:
     the knowledge-graph embedding-IG visualizer."""
     vt = str(config.get("visualize_type", "graph") or "graph")
     # mirror the TRAIN dispatch (cmd_train line ~310): node-embedding
-    # whole-graph configs are KG runs even without an explicit task key
-    if (config.get("task") == "link_prediction"
-            or config.get("with_node_embedding")
-            or vt.startswith("edge")):
+    # whole-graph configs are KG runs even without an explicit task key —
+    # but only when the dataset actually carries KG triples (cmd_train's
+    # own guard), else they are embedding-mode graph tasks
+    kg_route = config.get("task") == "link_prediction" or vt.startswith("edge")
+    if not kg_route and config.get("with_node_embedding"):
+        import joblib
+
+        raw = joblib.load(config["dataset"])
+        kg_route = isinstance(raw, dict) and raw.get("label_list") is not None
+    if kg_route:
         from kgcn_tpu.explain.kg_ig import run_kg_visualization
 
         run_kg_visualization(config)

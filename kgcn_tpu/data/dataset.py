@@ -159,23 +159,18 @@ def build_dataset(data: Dict[str, Any], config: Optional[Dict[str, Any]] = None,
     max_node_num = int(data.get("max_node_num", 0) or 0)
     if "multi_dense_adj" in data:
         raw = data["multi_dense_adj"]
-        # count ACTIVE rows (union over channels) like the dense_adj branch —
-        # len(m) is the padded matrix dimension, which would mark every
-        # padding node as enabled
-        enabled = np.array(
-            [
-                max(
-                    int(
-                        np.maximum.reduce(
-                            [(np.abs(np.asarray(m)).sum(axis=1) > 0) for m in lm]
-                        ).sum()
-                    ),
-                    1,
-                )
-                for lm in raw
-            ],
-            np.int32,
-        )
+        # enabled = LAST active row (union over channels) + 1 — the node
+        # mask is a prefix, so counting active rows would cut off a real
+        # trailing node whenever an earlier real node is isolated, and
+        # len(m) (the padded dimension) would mark every padding node valid
+        def _prefix_n(lm):
+            act = np.maximum.reduce(
+                [(np.abs(np.asarray(m)).sum(axis=1) > 0) for m in lm]
+            )
+            nz = np.nonzero(act)[0]
+            return int(nz[-1]) + 1 if len(nz) else 1
+
+        enabled = np.array([_prefix_n(lm) for lm in raw], np.int32)
         adjs = [[_dense_to_coo(m) for m in lm] for lm in raw]
         if not max_node_num:
             max_node_num = int(max(np.asarray(m).shape[0] for lm in raw for m in lm))
@@ -189,9 +184,12 @@ def build_dataset(data: Dict[str, Any], config: Optional[Dict[str, Any]] = None,
             adjs = [[_tuple_to_coo(t) for t in gs] for gs in raw]
     elif "dense_adj" in data:
         raw = np.asarray(data["dense_adj"])
-        enabled = np.array(
-            [max(int((np.abs(m).sum(axis=1) > 0).sum()), 1) for m in raw], np.int32
-        )
+        # prefix semantics: last active row + 1 (see multi_dense_adj note)
+        def _prefix_n1(m):
+            nz = np.nonzero(np.abs(m).sum(axis=1) > 0)[0]
+            return int(nz[-1]) + 1 if len(nz) else 1
+
+        enabled = np.array([_prefix_n1(m) for m in raw], np.int32)
         adjs = [[_dense_to_coo(m)] for m in raw]
         if not max_node_num:
             max_node_num = raw.shape[1]

@@ -88,12 +88,18 @@ def run_kg_visualization(config) -> None:
     gcn.py:651-658): per target triple, IG of its score on the embedding
     table, dumped as ``edgepred-{h}-{t}`` node/edge CSVs restricted to
     ``graph_distance`` hops."""
-    from kgcn_tpu.data import load_jbl
+    import joblib
+
+    from kgcn_tpu.data import build_dataset
     from kgcn_tpu.models.kg import KGBatcher
     from kgcn_tpu.models.registry import build_model
     from kgcn_tpu.runtime.train import Trainer
 
-    ds, info = load_jbl(config["dataset"], config)
+    # load the raw dict once: build_dataset consumes it AND it carries the
+    # id→name vocabulary (kgcn-tpu-kg's 'node_vocab') for the CSVs
+    raw = joblib.load(config["dataset"])
+    ds, info = build_dataset(raw, config)
+    node_names = raw.get("node_vocab") if isinstance(raw, dict) else None
     model_name = config.get("model.py", "kg_distmult")
     if model_name in ("model", "gcn"):
         model_name = "kg_distmult"
@@ -120,16 +126,6 @@ def run_kg_visualization(config) -> None:
     outdir = config.get("visualize_path", "./visualization/")
     steps = int(config.get("ig_divide_number", 30))
     hops = int(config.get("graph_distance", 2))
-    # kgcn-tpu-kg saves an id→name vocabulary precisely for these CSVs
-    node_names = None
-    try:
-        import joblib
-
-        raw = joblib.load(config["dataset"])
-        if isinstance(raw, dict):
-            node_names = raw.get("node_vocab")
-    except Exception:
-        pass
     for t in targets:
         h, r, tl = (int(x) for x in triples[t])
         ig = embedding_ig(model, variables, batch, triples[t:t + 1],
