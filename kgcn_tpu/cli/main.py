@@ -601,6 +601,7 @@ def cmd_visualize(config) -> None:
     # but only when the dataset actually carries KG triples (cmd_train's
     # own guard), else they are embedding-mode graph tasks
     kg_route = config.get("task") == "link_prediction" or vt.startswith("edge")
+    raw = None
     if not kg_route and config.get("with_node_embedding"):
         import joblib
 
@@ -609,7 +610,8 @@ def cmd_visualize(config) -> None:
     if kg_route:
         from kgcn_tpu.explain.kg_ig import run_kg_visualization
 
-        run_kg_visualization(config)
+        # pass the probed dict through so multi-GB datasets load once
+        run_kg_visualization(config, raw=raw)
         return
     from kgcn_tpu.explain.ig import run_visualization
 

@@ -41,6 +41,14 @@ def run_trial(base_config, params) -> float:
         return float(result["validation_cost"])
     if "ranking_accuracy" in result:  # KG runs report accuracy, not cost
         return -float(result["ranking_accuracy"])
+    # a completed run without a validation split: fall back to the final
+    # training cost so the GP still ranks trials (scoring it inf would
+    # degenerate the whole HPO to random search with a meaningless 'best')
+    hist = result.get("training_cost")
+    if hist:
+        print("[opt] no validation split — scoring trial by final "
+              "training cost (add validation_data_rate for proper HPO)")
+        return float(hist[-1] if isinstance(hist, (list, tuple)) else hist)
     return float(np.inf)
 
 

@@ -83,8 +83,12 @@ def prefetch(iterable: Iterable[T], size: int = 2) -> Iterator[T]:
             yield item
     finally:
         # consumer exited (normally, exception, or GC of the generator):
-        # release the producer and drop queued items
+        # release the producer, JOIN it, then drain — a producer blocked in
+        # _put can complete its put after stop.set(), so draining before it
+        # exits would leave one prepared (possibly device-resident) batch
+        # pinned in the abandoned queue until GC
         stop.set()
+        t.join(timeout=5.0)
         while True:
             try:
                 q.get_nowait()

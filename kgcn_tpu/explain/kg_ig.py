@@ -81,7 +81,7 @@ def subgraph_within(adjs, targets: Sequence[int], hops: int = 2):
     return sorted(keep), G
 
 
-def run_kg_visualization(config) -> None:
+def run_kg_visualization(config, raw=None) -> None:
     """CLI driver for KG embedding IG (reference:
     ``cal_feature_IG_for_kg``, kgcn/visualization.py:389-440, reached from
     ``kgcn visualize`` when ``visualize_type`` is not 'graph',
@@ -96,8 +96,10 @@ def run_kg_visualization(config) -> None:
     from kgcn_tpu.runtime.train import Trainer
 
     # load the raw dict once: build_dataset consumes it AND it carries the
-    # id→name vocabulary (kgcn-tpu-kg's 'node_vocab') for the CSVs
-    raw = joblib.load(config["dataset"])
+    # id→name vocabulary (kgcn-tpu-kg's 'node_vocab') for the CSVs;
+    # the CLI may pass its routing probe through to avoid a second load
+    if raw is None:
+        raw = joblib.load(config["dataset"])
     ds, info = build_dataset(raw, config)
     node_names = raw.get("node_vocab") if isinstance(raw, dict) else None
     model_name = config.get("model.py", "kg_distmult")

@@ -161,8 +161,13 @@ _DEVICE_CACHE: dict = {}  # id(part) -> (part, sl, rl, wl); part kept alive
 def _device_arrays(part: PartitionedEdges):
     """Upload the static [D, D, E] edge partition once per PartitionedEdges
     instead of on every call."""
-    ent = _DEVICE_CACHE.get(id(part))
+    key = id(part)
+    ent = _DEVICE_CACHE.get(key)
     if ent is not None and ent[0] is part:
+        # LRU: refresh recency so cycling through >16 live partitions
+        # doesn't evict the hot ones (dict preserves insertion order)
+        _DEVICE_CACHE.pop(key)
+        _DEVICE_CACHE[key] = ent
         return ent[1:]
     arrs = (
         jnp.asarray(part.senders_local),
@@ -171,7 +176,7 @@ def _device_arrays(part: PartitionedEdges):
     )
     if len(_DEVICE_CACHE) >= 16:  # bound the pin on host/device memory
         _DEVICE_CACHE.pop(next(iter(_DEVICE_CACHE)))
-    _DEVICE_CACHE[id(part)] = (part,) + arrs
+    _DEVICE_CACHE[key] = (part,) + arrs
     return arrs
 
 

@@ -1,0 +1,196 @@
+"""Tiled one-hot MXU SpMM kernel (interpret mode on CPU).
+
+Oracle: the XLA gather/segment-sum path (`ops.spmm.spmm`), which JAX
+differentiates natively — forward values, dx, and dw must all match
+(reference gradient semantics: kgcn/bspmm_call.py:21-57).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kgcn_tpu.ops.spmm import sddmm, spmm
+from kgcn_tpu.ops.tiled_spmm import (
+    build_tiled,
+    choose_tiling,
+    locality_order,
+    tiled_sddmm,
+    tiled_spmm,
+)
+
+
+def _random_coo(V, E, seed=0, vs=None):
+    rng = np.random.RandomState(seed)
+    s = rng.randint(0, vs or V, E).astype(np.int32)
+    r = rng.randint(0, V, E).astype(np.int32)
+    w = (rng.random_sample(E) + 0.1).astype(np.float32)
+    return s, r, w
+
+
+@pytest.mark.parametrize("V,E,F,ts,tr,chunk", [
+    (64, 300, 16, 32, 32, 16),
+    (100, 500, 40, 32, 48, 32),      # rectangular tiles, unaligned V/F
+    (33, 40, 8, 16, 16, 8),          # sparse enough to leave empty rts
+])
+def test_tiled_spmm_matches_coo(V, E, F, ts, tr, chunk):
+    s, r, w = _random_coo(V, E, seed=V)
+    x = np.random.RandomState(1).standard_normal((V, F)).astype(np.float32)
+    te = build_tiled(s, r, V, weights=w, ts=ts, tr=tr, chunk=chunk)
+    got = tiled_spmm(te, jnp.asarray(w), jnp.asarray(x),
+                     compute_dtype=jnp.float32)
+    want = spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w),
+                jnp.asarray(x), V)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_spmm_rectangular_operand():
+    """senders come from a different (larger) node set than receivers."""
+    Vs, Vr, E, F = 90, 40, 250, 24
+    rng = np.random.RandomState(3)
+    s = rng.randint(0, Vs, E).astype(np.int32)
+    r = rng.randint(0, Vr, E).astype(np.int32)
+    w = (rng.random_sample(E) + 0.1).astype(np.float32)
+    x = rng.standard_normal((Vs, F)).astype(np.float32)
+    te = build_tiled(s, r, Vr, num_sender_nodes=Vs, weights=w,
+                     ts=32, tr=16, chunk=16)
+    got = tiled_spmm(te, jnp.asarray(w), jnp.asarray(x),
+                     compute_dtype=jnp.float32)
+    want = spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w),
+                jnp.asarray(x), Vr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_spmm_zero_weight_edges_dropped():
+    V, E, F = 48, 200, 16
+    s, r, w = _random_coo(V, E, seed=7)
+    w[::3] = 0.0  # padding edges
+    x = np.random.RandomState(2).standard_normal((V, F)).astype(np.float32)
+    te = build_tiled(s, r, V, weights=w, ts=32, tr=32, chunk=16)
+    got = tiled_spmm(te, jnp.asarray(w), jnp.asarray(x),
+                     compute_dtype=jnp.float32)
+    want = spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w),
+                jnp.asarray(x), V)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_spmm_gradients_match_xla():
+    """dx and dw must equal the XLA path's autodiff (the reference's
+    registered transpose-spmm + SDDMM gradient pair)."""
+    V, E, F = 56, 260, 12
+    s, r, w = _random_coo(V, E, seed=11)
+    x = np.random.RandomState(4).standard_normal((V, F)).astype(np.float32)
+    te = build_tiled(s, r, V, weights=w, ts=32, tr=32, chunk=16)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def loss_tiled(wv, xv):
+        out = tiled_spmm(te, wv, xv, compute_dtype=jnp.float32)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_xla(wv, xv):
+        out = spmm(sj, rj, wv, xv, V)
+        return jnp.sum(out * jnp.cos(out))
+
+    gw_t, gx_t = jax.grad(loss_tiled, argnums=(0, 1))(
+        jnp.asarray(w), jnp.asarray(x)
+    )
+    gw_x, gx_x = jax.grad(loss_xla, argnums=(0, 1))(
+        jnp.asarray(w), jnp.asarray(x)
+    )
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_spmm_under_jit_traced_weights():
+    """weights may be traced (attention): structure is static, values flow."""
+    V, E, F = 40, 150, 8
+    s, r, w = _random_coo(V, E, seed=5)
+    x = np.random.RandomState(6).standard_normal((V, F)).astype(np.float32)
+    te = build_tiled(s, r, V, ts=32, tr=32, chunk=16)  # no weight filter
+
+    @jax.jit
+    def f(wv, xv):
+        return tiled_spmm(te, wv, xv, compute_dtype=jnp.float32)
+
+    got = f(jnp.asarray(w), jnp.asarray(x))
+    want = spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w),
+                jnp.asarray(x), V)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_sddmm_matches_einsum():
+    V, E, F = 44, 180, 20
+    s, r, w = _random_coo(V, E, seed=9)
+    rng = np.random.RandomState(8)
+    a = rng.standard_normal((V, F)).astype(np.float32)
+    b = rng.standard_normal((V, F)).astype(np.float32)
+    te = build_tiled(s, r, V, ts=32, tr=32, chunk=16)
+    got = tiled_sddmm(te, jnp.asarray(a), jnp.asarray(b),
+                      compute_dtype=jnp.float32)
+    want = sddmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(a),
+                 jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_sddmm_zero_weight_edges_get_zero():
+    V, E, F = 30, 90, 8
+    s, r, w = _random_coo(V, E, seed=13)
+    w[1::2] = 0.0
+    rng = np.random.RandomState(10)
+    a = rng.standard_normal((V, F)).astype(np.float32)
+    b = rng.standard_normal((V, F)).astype(np.float32)
+    te = build_tiled(s, r, V, weights=w, ts=16, tr=16, chunk=8)
+    got = np.asarray(tiled_sddmm(te, jnp.asarray(a), jnp.asarray(b),
+                                 compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got[1::2], 0.0)
+    want = np.asarray(sddmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(a),
+                            jnp.asarray(b)))
+    np.testing.assert_allclose(got[::2], want[::2], rtol=1e-4, atol=1e-4)
+
+
+def test_locality_order_and_choose_tiling():
+    V, E = 256, 2000
+    rng = np.random.RandomState(0)
+    # power-law-ish: half the edges hit 16 hub nodes
+    hubs = rng.randint(0, 16, E // 2)
+    s = np.concatenate([hubs, rng.randint(0, V, E - E // 2)]).astype(np.int32)
+    r = rng.randint(0, V, E).astype(np.int32)
+    perm = locality_order(s, r, V)
+    assert sorted(perm.tolist()) == list(range(V))
+    ts, tr, chunk = choose_tiling(s, r, V, 64)
+    assert ts > 0 and tr > 0 and chunk > 0
+
+    # relabeled aggregation is the permuted original
+    w = (rng.random_sample(E) + 0.1).astype(np.float32)
+    x = rng.standard_normal((V, 16)).astype(np.float32)
+    inv = np.empty(V, np.int64)
+    inv[perm] = np.arange(V)
+    s2, r2 = inv[s].astype(np.int32), inv[r].astype(np.int32)
+    te = build_tiled(s2, r2, V, weights=w, ts=64, tr=64, chunk=32)
+    got = np.asarray(
+        tiled_spmm(te, jnp.asarray(w), jnp.asarray(x[perm]),
+                   compute_dtype=jnp.float32)
+    )
+    want = np.asarray(
+        spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w), jnp.asarray(x),
+             V)
+    )
+    np.testing.assert_allclose(got, want[perm], rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_spmm_bf16_mode_close():
+    V, E, F = 64, 400, 32
+    s, r, w = _random_coo(V, E, seed=21)
+    x = np.random.RandomState(22).standard_normal((V, F)).astype(np.float32)
+    te = build_tiled(s, r, V, weights=w, ts=32, tr=32, chunk=32)
+    got = np.asarray(tiled_spmm(te, jnp.asarray(w), jnp.asarray(x)))
+    want = np.asarray(spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w),
+                           jnp.asarray(x), V))
+    # bf16 payload: ~2-3 decimal digits; sums accumulate in f32
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
