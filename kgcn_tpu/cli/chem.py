@@ -3,7 +3,9 @@
 Reference: ``kgcn-chem`` (kgcn/preprocessing/chem.py:552-770): SMILES /
 SDF / multitask assay CSV → ``.jbl`` (or ``.tfrecords``) with the 81-dim atom
 featuriser, atom-count filter, NaN→mask multitask label matrices, optional
-Morgan fingerprints and protein-sequence modality.  Requires RDKit.
+Morgan fingerprints and protein-sequence modality.  Uses RDKit when
+importable, otherwise the dependency-free :mod:`kgcn_tpu.data.molparse`
+SDF/SMILES backend (SMARTS and Gasteiger charges still need RDKit).
 """
 from __future__ import annotations
 

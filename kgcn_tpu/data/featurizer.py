@@ -1,4 +1,4 @@
-"""Molecular featurisation (RDKit-gated).
+"""Molecular featurisation over a molecule PROTOCOL (RDKit optional).
 
 Re-implementation of the reference featuriser
 (kgcn/preprocessing/utils.py:20-175): the default 81-dim atom feature vector
@@ -7,9 +7,12 @@ electrons + 5 hybridisation + aromatic + 5 numH), adjacency with self loops,
 Morgan fingerprints, and the deepchem-75 compat mode (drop degree dims 11-16
 and the charge/radical slots — chem.py:554-558).
 
-RDKit is not bundled in every environment; every entry point raises a clear
-error if it is missing.  The pure-array parts (one-hot helpers, padding)
-are importable regardless.
+Every entry point duck-types against the atom/molecule getter protocol
+(``GetSymbol/GetDegree/GetImplicitValence/…``) that BOTH RDKit mols and the
+dependency-free :mod:`kgcn_tpu.data.molparse` molecules implement, so the
+full chemistry pipeline runs without RDKit.  When RDKit is importable it is
+preferred for SMILES/SDF parsing (richer sanitisation + Gasteiger charges);
+otherwise :func:`parse_molecules` falls back to molparse transparently.
 """
 from __future__ import annotations
 
@@ -47,16 +50,13 @@ PAULING_EN = np.array([
 ], dtype=np.float32)
 
 
-def _require_rdkit():
+def _maybe_rdkit():
     try:
         from rdkit import Chem  # noqa: F401
 
         return Chem
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "RDKit is required for molecular preprocessing "
-            "(conda install -c conda-forge rdkit)"
-        ) from e
+    except ImportError:
+        return None
 
 
 def one_of_k(x, allowable: Sequence, unk: bool = True) -> List[bool]:
@@ -81,21 +81,15 @@ def atom_features(atom, degree_dim: int = DEGREE_DIM, *,
     (NaN/inf → 0, "because the mean is 0").  SYBYL/GAFF atom typing is out of
     scope — it needs oddt/openbabel even in the reference (utils.py:4,59-61).
     """
-    from rdkit import Chem
-
-    hyb = [
-        Chem.rdchem.HybridizationType.SP,
-        Chem.rdchem.HybridizationType.SP2,
-        Chem.rdchem.HybridizationType.SP3,
-        Chem.rdchem.HybridizationType.SP3D,
-        Chem.rdchem.HybridizationType.SP3D2,
-    ]
+    # compare hybridisation by NAME so RDKit enums ("SP2") and molparse
+    # strings interop through the same one-hot
+    hyb_names = ["SP", "SP2", "SP3", "SP3D", "SP3D2"]
     feats = (
         one_of_k(atom.GetSymbol(), ATOM_LIST)
         + one_of_k(atom.GetDegree(), list(range(degree_dim)), unk=False)
         + one_of_k(atom.GetImplicitValence(), VALENCE_SET)
         + [atom.GetFormalCharge(), atom.GetNumRadicalElectrons()]
-        + one_of_k(atom.GetHybridization(), hyb)
+        + one_of_k(str(atom.GetHybridization()), hyb_names)
         + [atom.GetIsAromatic()]
     )
     if use_electronegativity:
@@ -111,10 +105,14 @@ def atom_features(atom, degree_dim: int = DEGREE_DIM, *,
 
 
 def adjacency_matrix(mol) -> np.ndarray:
-    """RDKit adjacency + self loops (kgcn/preprocessing/utils.py:147-153)."""
-    from rdkit import Chem
+    """Adjacency + self loops (kgcn/preprocessing/utils.py:147-153);
+    duck-typed: molparse molecules carry their own adjacency."""
+    if hasattr(mol, "adjacency_matrix"):
+        adj = mol.adjacency_matrix()
+    else:
+        from rdkit import Chem
 
-    adj = np.array(Chem.GetAdjacencyMatrix(mol), dtype=np.int8)
+        adj = np.array(Chem.GetAdjacencyMatrix(mol), dtype=np.int8)
     np.fill_diagonal(adj, 1)
     return adj
 
@@ -128,6 +126,11 @@ def mol_to_graph(mol, atom_num_limit: int, deepchem_compat: bool = False, *,
     if n > atom_num_limit:
         return None
     if use_gasteiger:
+        if hasattr(mol, "adjacency_matrix"):
+            raise ValueError(
+                "--use-gasteiger requires RDKit molecules (Gasteiger "
+                "charge iteration is not implemented in molparse)"
+            )
         from rdkit.Chem.rdPartialCharges import ComputeGasteigerCharges
 
         ComputeGasteigerCharges(mol)
@@ -151,7 +154,12 @@ def mol_to_graph(mol, atom_num_limit: int, deepchem_compat: bool = False, *,
 
 
 def morgan_fingerprint(mol, radius: int = 2, bits: int = 2048) -> np.ndarray:
-    """Morgan/ECFP bit vector (kgcn/preprocessing/chem.py:720-727)."""
+    """Morgan/ECFP bit vector (kgcn/preprocessing/chem.py:720-727).
+    molparse molecules use the pure-Python circular-hash fallback."""
+    if hasattr(mol, "adjacency_matrix"):
+        from kgcn_tpu.data import molparse
+
+        return molparse.morgan_fingerprint(mol, radius=radius, bits=bits)
     from rdkit.Chem import AllChem
 
     fp = AllChem.GetMorganFingerprintAsBitVect(mol, radius, nBits=bits)
@@ -160,16 +168,34 @@ def morgan_fingerprint(mol, radius: int = 2, bits: int = 2048) -> np.ndarray:
 
 def parse_molecules(smiles: Optional[Sequence[str]] = None,
                     sdf_path: Optional[str] = None,
-                    smarts: Optional[Sequence[str]] = None):
-    """SMILES list / SDF file / SMARTS list → list of RDKit mols (None kept
-    for unparseable entries so labels stay aligned)."""
-    Chem = _require_rdkit()
-    if smiles is not None:
-        return [Chem.MolFromSmiles(s) for s in smiles]
-    if smarts is not None:
-        return [Chem.MolFromSmarts(s) for s in smarts]
-    if sdf_path is not None:
-        return list(Chem.SDMolSupplier(sdf_path))
+                    smarts: Optional[Sequence[str]] = None,
+                    backend: str = "auto"):
+    """SMILES list / SDF file / SMARTS list → list of mols (None kept for
+    unparseable entries so labels stay aligned).
+
+    ``backend``: "auto" prefers RDKit when importable and falls back to the
+    dependency-free molparse parser; "rdkit"/"molparse" force one.  SMARTS
+    pattern queries genuinely need RDKit.
+    """
+    Chem = _maybe_rdkit() if backend in ("auto", "rdkit") else None
+    if backend == "rdkit" and Chem is None:
+        raise ImportError("RDKit is required for backend='rdkit'")
+    if Chem is not None:
+        if smiles is not None:
+            return [Chem.MolFromSmiles(s) for s in smiles]
+        if smarts is not None:
+            return [Chem.MolFromSmarts(s) for s in smarts]
+        if sdf_path is not None:
+            return list(Chem.SDMolSupplier(sdf_path))
+    else:
+        from kgcn_tpu.data import molparse
+
+        if smiles is not None:
+            return [molparse.parse_smiles(s) for s in smiles]
+        if smarts is not None:
+            raise ImportError("SMARTS parsing requires RDKit")
+        if sdf_path is not None:
+            return molparse.parse_sdf(sdf_path)
     raise ValueError("one of smiles/sdf_path/smarts required")
 
 
@@ -196,12 +222,13 @@ def build_chem_dataset(
     for i, mol in enumerate(mols):
         if mol is None:
             continue
-        try:
-            from rdkit import Chem
+        if not hasattr(mol, "adjacency_matrix"):  # RDKit mol
+            try:
+                from rdkit import Chem
 
-            Chem.SanitizeMol(mol, catchErrors=True)
-        except Exception:
-            pass
+                Chem.SanitizeMol(mol, catchErrors=True)
+            except Exception:
+                pass
         out = mol_to_graph(mol, atom_num_limit, deepchem_compat,
                            use_electronegativity=use_electronegativity,
                            use_gasteiger=use_gasteiger)

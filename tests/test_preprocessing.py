@@ -100,8 +100,54 @@ def test_chem_featurizer_pure_parts():
     assert seq.tolist() == [1, 2, 3, 21, 0, 0]
 
 
-def test_chem_cli_requires_rdkit(tmp_path):
-    pytest.importorskip("rdkit", reason="RDKit not in this image")
+def test_chem_cli_end_to_end_without_rdkit(tmp_path):
+    """The full kgcn-tpu-chem CLI runs on the molparse backend: SMILES file +
+    label file → jbl → loadable by build_dataset and trainable shapes
+    (reference pipeline: kgcn/preprocessing/chem.py:552-770, no RDKit)."""
+    import joblib
+
+    from kgcn_tpu.cli.chem import main as chem_main
+    from kgcn_tpu.data import build_dataset
+
+    smi = tmp_path / "mols.smi"
+    smi.write_text("CCO\nc1ccccc1\nCC(=O)O\nCCN\nc1ccncc1\nCCCC\n")
+    lab = tmp_path / "labels.txt"
+    lab.write_text("1,0\n0,1\n1,0\n0,1\n1,0\n0,1\n")
+    out = tmp_path / "d.jbl"
+    chem_main([
+        "--smiles", str(smi), "--label", str(lab), "-o", str(out),
+        "--atom-num-limit", "20", "--morgan-fingerprint",
+    ])
+    data = joblib.load(out)
+    assert data["feature"].shape == (6, 20, 81)
+    assert data["label"].shape == (6, 2)
+    assert data["chemical_fp"].shape == (6, 2048)
+    ds, info = build_dataset(data, {})
+    assert info.feature_dim == 81 and ds.num == 6
+
+
+def test_chem_cli_assay_csv_pseudo_negative(tmp_path):
+    """Assay-matrix mode (NaN → mask) + pseudo-negative balancing, the CPI
+    preprocessing protocol (chem.py:436-490, 193-226) — RDKit-free."""
+    import joblib
+
+    from kgcn_tpu.cli.chem import main as chem_main
+
+    csvf = tmp_path / "assay.csv"
+    csvf.write_text(
+        "smiles,t1,t2\nCCO,1,\nc1ccccc1,1,1\nCC(=O)O,,1\nCCN,,\nCCC,0,0\n"
+        "CCCC,,\nCCCCC,,\nCCOC,,\n"
+    )
+    out = tmp_path / "cpi.jbl"
+    chem_main(["--assay-csv", str(csvf), "-o", str(out),
+               "--atom-num-limit", "20", "--pseudo-negative"])
+    data = joblib.load(out)
+    lab, msk = data["label"], data["mask_label"]
+    # 4 actives, 2 inactives, 10 free cells → 2 pseudo-negatives added
+    active = int((lab[msk == 1] == 1).sum())
+    inactive = int((lab[msk == 1] == 0).sum())
+    assert active == inactive == 4  # balanced by pseudo negatives
+    assert msk.sum() == 8
 
 
 def test_chem_summary_smiles_and_jbl(tmp_path, capsys):
