@@ -104,6 +104,70 @@ def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
     }
 
 
+def bench_tiled_spmm(F=128, iters=50, seed=0):
+    """The Pallas tiled one-hot MXU SpMM (ops/tiled_spmm.py) on its two
+    target regimes, with the ELL-XLA gather path measured on the SAME graphs
+    for an apples-to-apples ratio (reference op: kgcn/bspmm_call.py:6-15).
+
+    * blockdiag: reaction-scale block-diagonal mega-batch (2000 molecules
+      padded to 64 rows → graph-aligned 128-row tiles, V=128k, E=1M);
+    * uniform: worst-case scattered big-graph (V=100k, E=1M) — the KG/
+      protein-network regime with no locality at all.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from kgcn_tpu.ops.ell import coo_to_ell, spmm_ell
+    from kgcn_tpu.ops.tiled_spmm import build_tiled, tiled_spmm
+
+    rng = np.random.RandomState(seed)
+    out = {}
+
+    def measure(name, s, r, V, ts, tr, chunk, ell_iters):
+        E = len(s)
+        te = build_tiled(s, r, V, ts=ts, tr=tr, chunk=chunk)
+        x = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
+        w = jnp.ones((E,), jnp.float32)
+        f = jax.jit(lambda x_: tiled_spmm(te, w, x_))
+        looped = jax.jit(
+            lambda x_, n: lax.fori_loop(0, n, lambda i, xx: f(xx), x_)
+        )
+        jax.block_until_ready(looped(x, 2))
+        t0 = time.perf_counter()
+        jax.block_until_ready(looped(x, iters))
+        dt = (time.perf_counter() - t0) / iters
+        out[f"pallas_spmm_{name}_edges_per_s"] = E / dt
+        idx, wl = coo_to_ell(s, r, np.ones(E, np.float32), V)
+        idx, wl = jnp.asarray(idx), jnp.asarray(wl)
+        g = jax.jit(lambda x_: spmm_ell(idx, wl, x_))
+        glooped = jax.jit(
+            lambda x_, n: lax.fori_loop(0, n, lambda i, xx: g(xx), x_)
+        )
+        jax.block_until_ready(glooped(x, 2))
+        t0 = time.perf_counter()
+        jax.block_until_ready(glooped(x, ell_iters))
+        dt_ell = (time.perf_counter() - t0) / ell_iters
+        out[f"ell_xla_{name}_edges_per_s"] = E / dt_ell
+        out[f"pallas_vs_ell_{name}"] = dt_ell / dt
+
+    # graph-aligned block-diagonal mega-batch (keep seeds/shapes fixed so the
+    # persistent compilation cache hits across bench runs)
+    G, Nn, pad = 2000, 50, 64
+    ss, rr = [], []
+    for gidx in range(G):
+        e = rng.randint(0, Nn, (2, Nn * 10))
+        ss.append(e[0] + gidx * pad)
+        rr.append(e[1] + gidx * pad)
+    measure("blockdiag", np.concatenate(ss), np.concatenate(rr), G * pad,
+            128, 128, 1024, ell_iters=10)
+
+    V, E = 100_000, 1_000_000
+    measure("uniform", rng.randint(0, V, E), rng.randint(0, V, E), V,
+            1024, 1024, 128, ell_iters=10)
+    return out
+
+
 def bench_train(B=256, N=64, F=32, iters=300, seed=0, precision="float32"):
     import jax
 

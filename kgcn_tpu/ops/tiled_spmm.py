@@ -453,19 +453,26 @@ def _slot_of_edge(te: TiledCOO):
 
 
 _CANDIDATES = (
-    (256, 256, 128), (512, 512, 128), (512, 512, 256),
-    (1024, 1024, 256), (2048, 2048, 256), (1024, 2048, 256),
+    # clustered / block-diagonal regimes: small tiles, long chunks
+    (128, 128, 1024), (256, 256, 512), (256, 256, 1024), (256, 256, 2048),
+    (512, 512, 512),
+    # scattered / uniform regimes: big tiles, short chunks
+    (512, 512, 128), (1024, 1024, 128), (2048, 2048, 256),
 )
 
 
 def choose_tiling(senders, receivers, num_nodes: int, feature_dim: int,
                   *, weights=None, candidates=_CANDIDATES,
                   bytes_per_elt: int = 2) -> tuple[int, int, int]:
-    """Pick (ts, tr, chunk) minimising a FLOP+bandwidth cost model evaluated
+    """Pick (ts, tr, chunk) minimising a measured-on-v5e cost model evaluated
     on the exact (rt, st) pair histogram of THIS edge list.
 
-    model: MXU time ∝ slots·2F(ts+tr); HBM time ∝ pairs·ts·F·b; take max
-    (the pipeline overlaps them).
+    Terms (calibrated against on-chip sweeps, docs/performance.md):
+    * MXU: slots·2F(ts+tr) at ~2e14 bf16 FLOP/s;
+    * VPU one-hot construction: slots·(ts+tr) iota-compare+select lanes at
+      ~1e12/s — the DOMINANT term at F≈128 (runs ~0.7-serial with the MXU);
+    * HBM: one ts×F x-tile per (rt,st) pair;
+    * grid: ~1 µs per chunk step (small-tile kernels are step-bound).
     """
     s = np.asarray(senders).astype(np.int64)
     r = np.asarray(receivers).astype(np.int64)
@@ -473,20 +480,22 @@ def choose_tiling(senders, receivers, num_nodes: int, feature_dim: int,
         valid = np.asarray(weights) != 0
         s, r = s[valid], r[valid]
     F = max(feature_dim, 128)
-    # model constants for one v5e-class chip: bf16 MXU ~2e14 FLOP/s (f32
-    # payloads run at roughly half), HBM ~8e11 B/s
     MXU_FLOPS = 2.0e14 if bytes_per_elt == 2 else 1.0e14
     HBM_BPS = 8.0e11
+    VPU_OPS = 1.0e12
     best, best_cost = candidates[0], float("inf")
     for ts, tr, chunk in candidates:
         n_st = max(_cdiv(num_nodes, ts), 1)
         key = (r // tr) * n_st + (s // ts)
         _, counts = np.unique(key, return_counts=True)
         n_pairs = len(counts)
-        slots = int(np.sum(_ceil_div_arr(counts, chunk))) * chunk
+        n_chunks = int(np.sum(_ceil_div_arr(counts, chunk)))
+        slots = n_chunks * chunk
         t_mxu = slots * 2.0 * F * (ts + tr) / MXU_FLOPS
+        t_vpu = slots * 3.0 * (ts + tr) / VPU_OPS
         t_hbm = n_pairs * ts * F * bytes_per_elt / HBM_BPS
-        cost = max(t_mxu, t_hbm)
+        t_grid = n_chunks * 1.0e-6
+        cost = max(t_mxu + 0.7 * t_vpu, t_hbm) + t_grid
         if cost < best_cost:
             best, best_cost = (ts, tr, chunk), cost
     return best
