@@ -45,8 +45,12 @@ def main(out_dir: str = None):
     joblib.dump(cls, os.path.join(out_dir, "solubility_cls.jbl"), compress=3)
     print(f"[SAVE] solubility_cls.jbl  label shape {cls['label'].shape}")
 
+    # indexed by ORIGINAL mols position (build_chem_dataset selects rows via
+    # its own keep list), so unparseable records get a NaN placeholder instead
+    # of shifting every subsequent label
     sol = np.asarray(
-        [[float(m.GetProp("SOL"))] for m in mols if m is not None],
+        [[float(m.GetProp("SOL"))] if m is not None else [np.nan]
+         for m in mols],
         np.float32,
     )
     reg = fz.build_chem_dataset(

@@ -29,6 +29,7 @@ framework-accuracy comparisons are exact regardless.
 """
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -133,7 +134,13 @@ class Atom:
         )
 
     def GetImplicitValence(self) -> int:
-        # RDKit: implicit valence == number of implicit hydrogens
+        # RDKit: implicit valence == number of implicit hydrogens.  Bracket
+        # H counts ([nH] → explicit_h=1) are EXPLICIT in RDKit's model, so
+        # they contribute 0 here — keeps the valence one-hot slot of the
+        # 81-dim feature vector identical between the molparse and RDKit
+        # backends (kgcn/preprocessing/utils.py:20-56 schema).
+        if self.explicit_h is not None:
+            return 0
         return self.GetTotalNumHs() - self._explicit_h_neighbors()
 
     def GetHybridization(self) -> str:
@@ -148,8 +155,13 @@ class Atom:
             return "SP3D2"
         if deg == 5:
             return "SP3D"
-        if n_triple or n_double >= 2:
+        # two cumulated double bonds only mean SP on a LINEAR centre
+        # (allene/CO2); tetrahedral hypervalent centres (sulfone S, sulfonate,
+        # phosphate — degree > 2 with two X=O) are SP3 in RDKit's model
+        if n_triple or (n_double >= 2 and self.GetDegree() <= 2):
             return "SP"
+        if n_double >= 2:
+            return "SP3"  # tetrahedral hypervalent: 4 sigma bonds, no lone pair
         if n_double or self.aromatic:
             return "SP2"
         if self.symbol in DEFAULT_VALENCE or self.symbol == "H":
@@ -570,8 +582,8 @@ def morgan_fingerprint(mol: Molecule, radius: int = 2,
     with RDKit's Morgan, but the same invariant family (used only when RDKit
     is absent; reference semantics: kgcn/preprocessing/chem.py:720-727)."""
     inv = [
-        hash((a.GetSymbol(), a.GetFormalCharge(), a.GetDegree(),
-              a.GetTotalNumHs(), a.GetIsAromatic()))
+        _stable_hash((a.GetSymbol(), a.GetFormalCharge(), a.GetDegree(),
+                      a.GetTotalNumHs(), int(a.GetIsAromatic())))
         for a in mol.GetAtoms()
     ]
     fp = np.zeros((bits,), np.float32)
@@ -583,8 +595,19 @@ def morgan_fingerprint(mol: Molecule, radius: int = 2,
             env = sorted(
                 (order, inv[j]) for j, order in mol._nbrs[i]
             )
-            h = hash((inv[i],) + tuple(env))
+            h = _stable_hash((inv[i],) + tuple(env))
             nxt.append(h)
             fp[h % bits] = 1.0
         inv = nxt
     return fp
+
+
+def _stable_hash(obj) -> int:
+    """Process-independent hash of a nested tuple of ints/strings.
+
+    Python's builtin ``hash()`` is randomised per process for strings
+    (PYTHONHASHSEED), which would make fingerprint bit vectors saved to
+    ``.jbl`` irreproducible across runs — blake2b over a canonical byte
+    encoding is stable everywhere."""
+    h = hashlib.blake2b(repr(obj).encode("utf-8"), digest_size=8)
+    return int.from_bytes(h.digest(), "little", signed=False)

@@ -167,3 +167,42 @@ def test_morgan_fallback_deterministic_and_distinct():
     assert a.shape == (2048,)
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_morgan_fingerprint_stable_across_hash_seeds():
+    """ADVICE r2: builtin hash() is PYTHONHASHSEED-randomised — fingerprints
+    saved to .jbl must be identical across processes."""
+    import subprocess
+    import sys
+
+    code = (
+        "from kgcn_tpu.data import molparse\n"
+        "fp = molparse.morgan_fingerprint(molparse.parse_smiles('CC(=O)Oc1ccccc1C(=O)O'))\n"
+        "print(','.join(str(i) for i in fp.nonzero()[0]))\n"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code],
+            env={**os.environ, "PYTHONHASHSEED": seed},
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        for seed in ("0", "1", "12345")
+    }
+    assert len(outs) == 1, "fingerprint bits differ across hash seeds"
+
+
+def test_hybridization_hypervalent_and_bracket_valence():
+    """ADVICE r2: sulfone S is SP3 (tetrahedral hypervalent), allene centre
+    is SP; bracket-H atoms report implicit valence 0 (RDKit's split)."""
+    sulfone = molparse.parse_smiles("CS(=O)(=O)C")  # dimethyl sulfone
+    s = next(a for a in sulfone.GetAtoms() if a.GetSymbol() == "S")
+    assert str(s.GetHybridization()) == "SP3"
+    allene = molparse.parse_smiles("C=C=C")
+    mid = allene.GetAtoms()[1]
+    assert str(mid.GetHybridization()) == "SP"
+    co2 = molparse.parse_smiles("O=C=O")
+    assert str(co2.GetAtoms()[1].GetHybridization()) == "SP"
+    pyrrole = molparse.parse_smiles("c1cc[nH]1")
+    n = next(a for a in pyrrole.GetAtoms() if a.GetSymbol() == "N")
+    assert n.GetImplicitValence() == 0  # bracket H is explicit in RDKit
+    assert n.GetTotalNumHs() == 1
