@@ -168,6 +168,90 @@ def bench_tiled_spmm(F=128, iters=50, seed=0):
     return out
 
 
+def bench_sparse_engine_tiled(B=64, N=512, F=81, avg_degree=8, iters=20,
+                              seed=0):
+    """The shipped sparse reaction engine (models/sparse.SparseGCN) at a
+    beyond-dense-threshold node count (N=512 > 256): full train step through
+    the ``tiled`` Pallas backend vs the XLA segment-sum path — the
+    integration target of VERDICT r2 #1 (reference op: kgcn/bspmm_call.py).
+    """
+    import importlib
+
+    import jax
+    import optax
+    from jax import lax
+
+    from kgcn_tpu.data import Batcher, build_dataset
+    from kgcn_tpu.data.synthetic import make_random_graphs
+    from kgcn_tpu.graph.batch import set_dense_path
+    from kgcn_tpu.models.sparse import SparseGCN
+    from kgcn_tpu.runtime.config import default_config
+    from kgcn_tpu.runtime.train import Trainer
+
+    spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
+    cfg = default_config()
+    cfg.update({"task": "classification", "learning_rate": 1e-3})
+    # label values stay binary; the 1000-class head still exercises the
+    # reaction-scale softmax shape
+    data = make_random_graphs(B, N, F, avg_degree=avg_degree, seed=seed)
+    ds, info = build_dataset(data, cfg)
+    out = {}
+    n_edges = None
+
+    for backend in ("xla", "tiled"):
+        set_dense_path(False)
+        spmm_mod.set_backend(backend)
+        try:
+            b = Batcher(ds, info, B, seed=seed)
+            batch = b.make_batch(np.arange(B))
+            if n_edges is None:
+                n_edges = int(np.asarray(batch.graph.n_edge)[0])
+            model = SparseGCN(channels=info.adj_channel_num,
+                              num_classes=1000)
+            trainer = Trainer(model, cfg, info)
+            state = trainer.init_state(batch, seed=0)
+            tx = trainer.tx
+
+            def one(st):
+                def loss_fn(p, bs):
+                    o, upd = model.apply(
+                        {"params": p, "batch_stats": bs}, batch, train=True,
+                        mutable=["batch_stats"],
+                    )
+                    return o.cost_opt, upd.get("batch_stats", bs)
+
+                grads, bs = jax.grad(loss_fn, has_aux=True)(
+                    st.params, st.batch_stats
+                )
+                updates, opt = tx.update(grads, st.opt_state, st.params)
+                return st.replace(
+                    params=optax.apply_updates(st.params, updates),
+                    batch_stats=bs, opt_state=opt, step=st.step + 1,
+                )
+
+            looped = jax.jit(
+                lambda s, n: lax.fori_loop(0, n, lambda i, st: one(st), s)
+            )
+            s2 = looped(state, 2)
+            jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+            t0 = time.perf_counter()
+            s3 = looped(s2, iters)
+            jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
+            dt = (time.perf_counter() - t0) / iters
+            out[f"sparse_engine_{backend}_step_s"] = dt
+            out[f"sparse_engine_{backend}_edges_per_s"] = (
+                3 * n_edges / dt  # 3 GraphConv layers aggregate per step
+            )
+        finally:
+            spmm_mod.set_backend("xla")
+            set_dense_path(True)
+    if out.get("sparse_engine_tiled_step_s"):
+        out["sparse_engine_tiled_vs_xla"] = (
+            out["sparse_engine_xla_step_s"] / out["sparse_engine_tiled_step_s"]
+        )
+    return out
+
+
 def bench_train(B=256, N=64, F=32, iters=300, seed=0, precision="float32"):
     import jax
 
@@ -335,6 +419,8 @@ def main():
 
     jax.device_get(jnp.zeros(()))
     agg = bench_aggregation()
+    agg.update(bench_tiled_spmm())
+    agg.update(bench_sparse_engine_tiled())
     train = bench_train()
     train_bf16 = bench_train(precision="bfloat16")
     train["train_step_s_bf16"] = train_bf16["train_step_s"]

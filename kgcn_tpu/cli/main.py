@@ -666,12 +666,19 @@ def main(argv=None):
     if config.get("debug_nan"):
         jax.config.update("jax_debug_nans", True)
     backend = str(config.get("spmm_backend", "auto"))
-    if backend in ("xla", "pallas"):
+    if backend in ("xla", "pallas", "tiled"):
         from kgcn_tpu.graph.batch import set_dense_path
-        from kgcn_tpu.ops import spmm as spmm_mod
+        import importlib
+        spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
 
         set_dense_path(False)
         spmm_mod.set_backend(backend)
+        if backend == "tiled":
+            from kgcn_tpu.ops import tiled_spmm as tiled_mod
+
+            tiled_mod.set_compute_dtype(
+                config.get("tiled_compute_dtype", "bfloat16")
+            )
     elif backend == "dense":
         from kgcn_tpu.graph.batch import set_dense_path
 

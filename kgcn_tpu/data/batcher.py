@@ -105,6 +105,10 @@ class Batcher:
         self._prepare_native()
         self._ell = None
         self._prepare_ell()
+        # tiled-backend state: (ts, tr, chunk) fixed after the first batch,
+        # chunk budget padded so every batch shares one compiled executable
+        self._tiled_cfg = None
+        self._tiled_budget = None
 
     def _prepare_native(self) -> None:
         """Precompute flat COO blocks so each batch is one native C call
@@ -344,7 +348,41 @@ class Batcher:
         widths[1] = (0, pad)
         return np.pad(x, widths)
 
+    def _attach_tiled(self, graph):
+        """Attach per-channel tiled edge structures when the ``tiled`` spmm
+        backend is active (Pallas one-hot MXU kernel, ops/tiled_spmm.py).
+
+        The tiling config is chosen from the first batch and then pinned —
+        with the chunk list padded to a budget — so streaming batches of
+        varying topology share ONE compiled executable.  If a later batch
+        overflows the budget it is doubled (one recompilation)."""
+        import importlib
+        spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
+
+        if spmm_mod.get_backend() != "tiled":
+            return graph
+        F = int(self.info.feature_dim or 128)
+        if self._tiled_cfg is None:
+            probe = graph.with_tiled(feature_dim=F)
+            m = probe.tiled_adj[0].meta
+            self._tiled_cfg = (m.ts, m.tr, m.chunk)
+            budget = max(
+                max(t.meta.n_chunks for t in probe.tiled_adj),
+                max(t.transpose.meta.n_chunks for t in probe.tiled_adj),
+            )
+            self._tiled_budget = -(-int(budget * 1.25) // 8) * 8
+        while True:
+            try:
+                return graph.with_tiled(
+                    tiling=self._tiled_cfg,
+                    chunk_budget=self._tiled_budget,
+                    feature_dim=F,
+                )
+            except ValueError:
+                self._tiled_budget *= 2
+
     def _finish_batch(self, graph, idx, G: int, B: int) -> Batch:
+        graph = self._attach_tiled(graph)
         ds = self.ds
 
         def pad_rows(x):

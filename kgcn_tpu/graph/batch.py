@@ -89,6 +89,10 @@ class GraphBatch:
     # the device-resident layout (kgcn_tpu/runtime/resident.py) interleaves
     # per-graph padding and supplies the mask explicitly instead.
     edge_valid: Optional[jnp.ndarray] = None
+    # Optional per-channel tiled edge structures (tuple of TiledCOO) for the
+    # Pallas one-hot MXU SpMM kernel (ops/tiled_spmm.py) — the ``tiled``
+    # spmm backend; built host-side by ``with_tiled()`` / the Batcher.
+    tiled_adj: Optional[tuple] = None
     n_graph: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=1)
 
@@ -178,6 +182,40 @@ class GraphBatch:
         if self.dense_adj is not None:
             return self
         return self.replace(dense_adj=self.dense_adjacency())
+
+    def with_tiled(self, *, tiling: Optional[tuple] = None,
+                   chunk_budget: Optional[int] = None,
+                   feature_dim: int = 128) -> "GraphBatch":
+        """Return a copy carrying per-channel tiled edge structures for the
+        Pallas one-hot MXU SpMM kernel (``spmm_backend: "tiled"``).
+
+        HOST-SIDE ONLY (numpy packing of the edge lists) — call it where the
+        batch is assembled, not under jit.  ``tiling``: explicit (ts, tr,
+        chunk); default picks per-channel via ``choose_tiling``.
+        ``chunk_budget``: pad the chunk list to a fixed length so streaming
+        batches of varying topology share one compiled executable.
+        """
+        if self.tiled_adj is not None:
+            return self
+        import numpy as _np
+
+        from kgcn_tpu.ops.tiled_spmm import build_tiled, choose_tiling
+
+        s = _np.asarray(self.senders)
+        r = _np.asarray(self.receivers)
+        w = _np.asarray(self.edge_weights)
+        tes = []
+        for c in range(s.shape[0]):
+            ts, tr, chunk = tiling or choose_tiling(
+                s[c], r[c], self.total_nodes, feature_dim, weights=w[c]
+            )
+            tes.append(
+                build_tiled(
+                    s[c], r[c], self.total_nodes, weights=w[c],
+                    ts=ts, tr=tr, chunk=chunk, chunk_budget=chunk_budget,
+                )
+            )
+        return self.replace(tiled_adj=tuple(tes))
 
 
 _DENSE_PATH_ENABLED = [True]

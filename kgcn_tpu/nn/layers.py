@@ -106,6 +106,12 @@ class GraphConv(nn.Module):
             out = gconv_dense(graph.dense_adj, xb, w, b)
             return out.reshape(graph.total_nodes, F_out)
         hw = jnp.einsum("vf,cfo->cvo", x, w) + b[:, None, :]
+        if graph.tiled_adj is not None:
+            # tiled one-hot MXU Pallas kernel (spmm_backend: "tiled")
+            return spmm_multichannel(
+                graph.senders, graph.receivers, graph.edge_weights, hw,
+                graph.total_nodes, backend="tiled", tiled=graph.tiled_adj,
+            )
         if graph.ell_senders is not None:
             # scatter-free padded-neighbour-list aggregation (Pallas kernel
             # when spmm_backend=pallas and it lowers; XLA gather otherwise)
@@ -129,6 +135,11 @@ class GINAggregate(nn.Module):
         if graph.dense_adj is not None:
             xb = x.reshape(graph.n_graph, graph.max_nodes, -1)
             agg = spmm_dense(graph.dense_adj, xb).reshape(x.shape)
+        elif graph.tiled_adj is not None:
+            agg = spmm_multichannel(
+                graph.senders, graph.receivers, graph.edge_weights, x,
+                graph.total_nodes, backend="tiled", tiled=graph.tiled_adj,
+            )
         elif graph.ell_senders is not None:
             agg = ell_aggregate(graph.ell_senders, graph.ell_weights, x)
         else:

@@ -38,7 +38,7 @@ _BACKEND = "xla"
 
 def set_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "tiled"), name
     _BACKEND = name
 
 
@@ -61,13 +61,20 @@ def _warn_pallas_fallback() -> None:
 
 
 def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = None,
-         max_degree: int | None = None):
+         max_degree: int | None = None, tiled=None):
     """``out[r] = Σ_{e: receivers[e]=r} weights[e] * x[senders[e]]``.
 
     senders/receivers: [E] int32, weights: [E], x: [V, F] → [num_nodes, F].
     Padding edges must carry weight 0 (then their contribution vanishes).
+    ``tiled``: optional prebuilt :class:`~kgcn_tpu.ops.tiled_spmm.TiledCOO`
+    for the same edge list — used by the ``tiled`` backend (the Pallas
+    one-hot MXU kernel; built host-side via ``build_tiled``).
     """
     backend = backend or _BACKEND
+    if backend == "tiled" and tiled is not None:
+        from kgcn_tpu.ops.tiled_spmm import tiled_spmm
+
+        return tiled_spmm(tiled, weights, x).astype(x.dtype)
     if backend == "pallas":
         from kgcn_tpu.ops.pallas_spmm import spmm_pallas
 
@@ -79,16 +86,26 @@ def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = N
 
 def spmm_multichannel(
     senders, receivers, weights, x, num_nodes: int, backend: str | None = None,
-    max_degree: int | None = None,
+    max_degree: int | None = None, tiled=None,
 ):
     """Channel-summed spmm: ``out[r] = Σ_c Σ_e w[c,e] · x_c[s[c,e]]``.
 
     senders/receivers/weights: [C, E]; x: [C, V, F] (per-channel features, the
     Bconv layout where each channel has its own projected features) or [V, F]
-    (shared features).  Returns [num_nodes, F].
+    (shared features).  Returns [num_nodes, F].  ``tiled``: optional tuple of
+    per-channel prebuilt TiledCOO structures (the ``tiled`` backend).
     """
     backend = backend or _BACKEND
     C, E = senders.shape
+    if backend == "tiled" and tiled is not None:
+        from kgcn_tpu.ops.tiled_spmm import tiled_spmm
+
+        out = None
+        for c in range(C):  # C is small and static
+            xc = x[c] if x.ndim == 3 else x
+            o = tiled_spmm(tiled[c], weights[c], xc)
+            out = o if out is None else out + o
+        return out.astype(x.dtype)
     if x.ndim == 2:
         x = jnp.broadcast_to(x[None], (C, *x.shape))
     # Flatten channels into one edge list; segment ids stay node indices so a

@@ -36,11 +36,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -68,9 +69,13 @@ class TiledMeta:
     num_edges: int       # true E (slot_src sentinel value)
 
 
-class TiledCOO(NamedTuple):
+@struct.dataclass
+class TiledCOO:
     """Device arrays of one tiled edge structure (weights NOT included —
     they are a dynamic per-call input, so learned/attention weights work).
+
+    A registered pytree (``meta`` is static aux data), so it can live on a
+    ``GraphBatch``, be a jit argument, and cross ``shard_map`` boundaries.
 
     s_loc/r_loc: [n_chunks, chunk] int32 — sender/receiver index local to the
         chunk's tile; padding slots are 0.
@@ -91,8 +96,8 @@ class TiledCOO(NamedTuple):
     chunk_rt: jax.Array
     chunk_st: jax.Array
     chunk_first: jax.Array
-    meta: TiledMeta
-    transpose: "TiledCOO | None"
+    meta: TiledMeta = struct.field(pytree_node=False)
+    transpose: Optional["TiledCOO"] = None
 
 
 def _build_arrays(s, r, eid, num_senders, num_receivers, num_edges,
@@ -171,7 +176,8 @@ def _ceil_div_arr(a, b):
 def build_tiled(senders, receivers, num_nodes: int, *,
                 weights=None, num_sender_nodes: int | None = None,
                 ts: int = 512, tr: int = 512, chunk: int = 128,
-                with_transpose: bool = True) -> TiledCOO:
+                with_transpose: bool = True,
+                chunk_budget: int | None = None) -> TiledCOO:
     """Build the tiled chunk structure (host-side, topology only).
 
     ``weights`` is only consulted to DROP padding edges (weight 0) from the
@@ -195,11 +201,55 @@ def build_tiled(senders, receivers, num_nodes: int, *,
 
     te = _build_arrays(s_v, r_v, eid, n_send, num_nodes, num_edges,
                        ts, tr, chunk)
+    if chunk_budget is not None:
+        te = _pad_chunks(te, chunk_budget)
     if with_transpose:
         tt = _build_arrays(r_v, s_v, eid, num_nodes, n_send, num_edges,
                            tr, ts, chunk)
-        te = te._replace(transpose=tt)
+        if chunk_budget is not None:
+            tt = _pad_chunks(tt, chunk_budget)
+        te = te.replace(transpose=tt)
     return te
+
+
+def _pad_chunks(te: TiledCOO, budget: int) -> TiledCOO:
+    """Pad the chunk list to a fixed ``budget`` so different topologies share
+    one static meta (one compiled executable across streaming batches).
+
+    Filler chunks repeat the LAST chunk's (rt, st) with ``chunk_first=0`` and
+    all-padding slots, so they re-visit the final output tile consecutively
+    and add the appended zero weight — a no-op."""
+    m = te.meta
+    if m.n_chunks > budget:
+        raise ValueError(
+            f"chunk budget {budget} < required {m.n_chunks}; raise the "
+            f"budget or the chunk size"
+        )
+    pad = budget - m.n_chunks
+    if pad == 0:
+        return te
+    npad = np.zeros((pad, m.chunk), np.int32)
+    last_rt = int(te.chunk_rt[-1]) if m.n_chunks else 0
+    last_st = int(te.chunk_st[-1]) if m.n_chunks else 0
+    return TiledCOO(
+        s_loc=jnp.concatenate([te.s_loc, jnp.asarray(npad)]),
+        r_loc=jnp.concatenate([te.r_loc, jnp.asarray(npad)]),
+        slot_src=jnp.concatenate(
+            [te.slot_src,
+             jnp.full((pad, m.chunk), m.num_edges, jnp.int32)]
+        ),
+        chunk_rt=jnp.concatenate(
+            [te.chunk_rt, jnp.full((pad,), last_rt, jnp.int32)]
+        ),
+        chunk_st=jnp.concatenate(
+            [te.chunk_st, jnp.full((pad,), last_st, jnp.int32)]
+        ),
+        chunk_first=jnp.concatenate(
+            [te.chunk_first, jnp.zeros((pad,), jnp.int32)]
+        ),
+        meta=dataclasses.replace(m, n_chunks=budget),
+        transpose=te.transpose,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -397,14 +447,29 @@ def _core_bwd(meta, metaT, cdt_name, res, g):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
-def tiled_spmm(te: TiledCOO, weights, x, *, compute_dtype=jnp.bfloat16):
+_DEFAULT_COMPUTE_DTYPE = [jnp.bfloat16]
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the default MXU payload dtype for the tiled kernels (config key
+    ``tiled_compute_dtype``).  ``bfloat16`` (default) halves HBM traffic and
+    doubles MXU rate — max-abs error ~2.5e-2 vs the f32 XLA path at
+    degree~10/F=128 (fine for GCN aggregation); ``float32`` is the exactness
+    escape hatch for attention/gradient-sensitive uses."""
+    _DEFAULT_COMPUTE_DTYPE[0] = jnp.dtype(dtype).type
+
+
+def tiled_spmm(te: TiledCOO, weights, x, *, compute_dtype=None):
     """``out[r] = Σ_e w_e · x[s_e]`` through the tiled one-hot MXU kernel.
 
     ``weights``: [E] (dynamic, differentiable — attention/learned weights
     work); ``x``: [num_senders, F] → [num_receivers, F] float32.
     ``compute_dtype`` is the MXU payload dtype (one-hots, x tiles, message
-    rows); accumulation is always float32.  Requires ``te.transpose``.
+    rows); accumulation is always float32.  None → the module default
+    (``set_compute_dtype``).  Requires ``te.transpose``.
     """
+    if compute_dtype is None:
+        compute_dtype = _DEFAULT_COMPUTE_DTYPE[0]
     assert te.transpose is not None, "build_tiled(with_transpose=True) needed"
     meta, metaT = te.meta, te.transpose.meta
     w_ext = jnp.concatenate(
@@ -419,9 +484,11 @@ def tiled_spmm(te: TiledCOO, weights, x, *, compute_dtype=jnp.bfloat16):
                  fwd_ints, bwd_ints, w_chunks, wT_chunks, x)
 
 
-def tiled_sddmm(te: TiledCOO, a, b, *, compute_dtype=jnp.bfloat16):
+def tiled_sddmm(te: TiledCOO, a, b, *, compute_dtype=None):
     """Per-edge inner products ``out[e] = ⟨a[r_e], b[s_e]⟩`` (reference
     values-grad pattern, kgcn/bspmm_call.py:49-54).  Returns [E] f32."""
+    if compute_dtype is None:
+        compute_dtype = _DEFAULT_COMPUTE_DTYPE[0]
     meta = te.meta
     dw = _sddmm_pallas_call(
         meta, te.s_loc, te.r_loc, te.chunk_rt, te.chunk_st, te.chunk_first,

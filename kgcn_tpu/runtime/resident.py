@@ -96,6 +96,16 @@ def resident_enabled(config, ds: Dataset, info: DatasetInfo, *,
     flag = resident_flag(config)
     if flag == "off":
         return False
+    import importlib
+    _spmm = importlib.import_module("kgcn_tpu.ops.spmm")
+
+    if _spmm.get_backend() == "tiled":
+        # the tiled Pallas structure is packed host-side per batch; the
+        # device-resident on-device batch assembly cannot carry it
+        if flag == "force":
+            print("[resident] spmm_backend=tiled needs host batching; "
+                  "streaming batcher")
+        return False
     if not supports_resident(ds, allow_index_list=allow_index_list):
         if flag == "force":
             print("[resident] dataset unsupported; streaming batcher")

@@ -19,6 +19,13 @@ from kgcn_tpu.ops.tiled_spmm import (
 )
 
 
+_ON_TPU = jax.default_backend() == "tpu"
+# Tiny tiles (16-64) exercise the packing/gradient logic in interpret mode;
+# Mosaic rejects sub-(8,128)-aligned tiles on real TPUs, so they are CPU-only.
+tiny_tiles = pytest.mark.skipif(
+    _ON_TPU, reason="tiny tiles are interpret-mode only; see on-chip lane")
+
+
 def _random_coo(V, E, seed=0, vs=None):
     rng = np.random.RandomState(seed)
     s = rng.randint(0, vs or V, E).astype(np.int32)
@@ -32,6 +39,7 @@ def _random_coo(V, E, seed=0, vs=None):
     (100, 500, 40, 32, 48, 32),      # rectangular tiles, unaligned V/F
     (33, 40, 8, 16, 16, 8),          # sparse enough to leave empty rts
 ])
+@tiny_tiles
 def test_tiled_spmm_matches_coo(V, E, F, ts, tr, chunk):
     s, r, w = _random_coo(V, E, seed=V)
     x = np.random.RandomState(1).standard_normal((V, F)).astype(np.float32)
@@ -44,6 +52,7 @@ def test_tiled_spmm_matches_coo(V, E, F, ts, tr, chunk):
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_tiles
 def test_tiled_spmm_rectangular_operand():
     """senders come from a different (larger) node set than receivers."""
     Vs, Vr, E, F = 90, 40, 250, 24
@@ -62,6 +71,7 @@ def test_tiled_spmm_rectangular_operand():
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_tiles
 def test_tiled_spmm_zero_weight_edges_dropped():
     V, E, F = 48, 200, 16
     s, r, w = _random_coo(V, E, seed=7)
@@ -76,6 +86,7 @@ def test_tiled_spmm_zero_weight_edges_dropped():
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_tiles
 def test_tiled_spmm_gradients_match_xla():
     """dx and dw must equal the XLA path's autodiff (the reference's
     registered transpose-spmm + SDDMM gradient pair)."""
@@ -105,6 +116,7 @@ def test_tiled_spmm_gradients_match_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+@tiny_tiles
 def test_tiled_spmm_under_jit_traced_weights():
     """weights may be traced (attention): structure is static, values flow."""
     V, E, F = 40, 150, 8
@@ -123,6 +135,7 @@ def test_tiled_spmm_under_jit_traced_weights():
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_tiles
 def test_tiled_sddmm_matches_einsum():
     V, E, F = 44, 180, 20
     s, r, w = _random_coo(V, E, seed=9)
@@ -138,6 +151,7 @@ def test_tiled_sddmm_matches_einsum():
                                rtol=1e-4, atol=1e-4)
 
 
+@tiny_tiles
 def test_tiled_sddmm_zero_weight_edges_get_zero():
     V, E, F = 30, 90, 8
     s, r, w = _random_coo(V, E, seed=13)
@@ -154,6 +168,7 @@ def test_tiled_sddmm_zero_weight_edges_get_zero():
     np.testing.assert_allclose(got[::2], want[::2], rtol=1e-4, atol=1e-4)
 
 
+@tiny_tiles
 def test_locality_order_and_choose_tiling():
     V, E = 256, 2000
     rng = np.random.RandomState(0)
@@ -184,6 +199,7 @@ def test_locality_order_and_choose_tiling():
     np.testing.assert_allclose(got, want[perm], rtol=1e-5, atol=1e-5)
 
 
+@tiny_tiles
 def test_tiled_spmm_bf16_mode_close():
     V, E, F = 64, 400, 32
     s, r, w = _random_coo(V, E, seed=21)
@@ -194,3 +210,121 @@ def test_tiled_spmm_bf16_mode_close():
                            jnp.asarray(x), V))
     # bf16 payload: ~2-3 decimal digits; sums accumulate in f32
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+@tiny_tiles
+def test_tiled_backend_end_to_end_matches_xla():
+    """spmm_backend="tiled": the Batcher attaches TiledCOO structures, the
+    layers dispatch through them, and a short training run produces the same
+    parameters as the XLA backend (interpret mode; f32 compute dtype)."""
+    from kgcn_tpu.data import Batcher, build_dataset
+    from kgcn_tpu.data.synthetic import make_random_graphs
+    from kgcn_tpu.graph.batch import set_dense_path
+    from kgcn_tpu.models.registry import build_model
+    import importlib
+    spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
+    from kgcn_tpu.ops import tiled_spmm as tiled_mod
+    from kgcn_tpu.runtime.config import default_config
+    from kgcn_tpu.runtime.train import Trainer
+
+    cfg = default_config()
+    cfg.update({"task": "classification", "learning_rate": 1e-2})
+    data = make_random_graphs(16, 12, 8, avg_degree=3, seed=0)
+    ds, info = build_dataset(data, cfg)
+
+    def run(backend):
+        set_dense_path(False)
+        spmm_mod.set_backend(backend)
+        tiled_mod.set_compute_dtype(jnp.float32)
+        try:
+            b = Batcher(ds, info, 16, seed=0)
+            batch = b.make_batch(np.arange(16))
+            if backend == "tiled":
+                assert batch.graph.tiled_adj is not None
+                assert batch.graph.tiled_adj[0].transpose is not None
+            else:
+                assert batch.graph.tiled_adj is None
+            model = build_model("gcn", info, cfg)
+            trainer = Trainer(model, cfg, info)
+            state = trainer.init_state(batch, seed=0)
+            for _ in range(3):
+                state, _, _ = trainer.train_step(state, batch)
+            return jax.tree_util.tree_leaves(state.params)
+        finally:
+            spmm_mod.set_backend("xla")
+            tiled_mod.set_compute_dtype(jnp.bfloat16)
+            set_dense_path(True)
+
+    p_xla = run("xla")
+    p_tiled = run("tiled")
+    for a, b in zip(p_xla, p_tiled):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@tiny_tiles
+def test_tiled_chunk_budget_padding_matches_unpadded():
+    """chunk_budget pads with no-op filler chunks — results identical, meta
+    static across topologies (the streaming-batch executable-reuse
+    contract)."""
+    V, E, F = 64, 200, 16
+    s, r, w = _random_coo(V, E, seed=5)
+    x = np.random.RandomState(6).standard_normal((V, F)).astype(np.float32)
+    te = build_tiled(s, r, V, weights=w, ts=32, tr=32, chunk=16)
+    teb = build_tiled(s, r, V, weights=w, ts=32, tr=32, chunk=16,
+                      chunk_budget=te.meta.n_chunks + 7)
+    assert teb.meta.n_chunks == te.meta.n_chunks + 7
+    a = tiled_spmm(te, jnp.asarray(w), jnp.asarray(x),
+                   compute_dtype=jnp.float32)
+    b = tiled_spmm(teb, jnp.asarray(w), jnp.asarray(x),
+                   compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and a second, different topology fits the same budget with same meta
+    s2, r2, w2 = _random_coo(V, E, seed=9)
+    te2 = build_tiled(s2, r2, V, weights=w2, ts=32, tr=32, chunk=16,
+                      chunk_budget=teb.meta.n_chunks)
+    assert te2.meta == teb.meta
+
+
+@pytest.mark.skipif(not _ON_TPU, reason=(
+    "production-size on-chip lane: KGCN_TEST_PLATFORM=axon "
+    "pytest tests/test_tiled_spmm.py"))
+def test_tiled_spmm_production_tiles_on_chip():
+    """Production tile sizes (1024, 1024, 128) on the real chip: forward and
+    both gradients vs the XLA path, f32 exactness and the documented bf16
+    error bound at production scale (V=20k, E=200k, F=128)."""
+    V, E, F = 20_000, 200_000, 128
+    s, r, w = _random_coo(V, E, seed=3)
+    x = np.random.RandomState(4).standard_normal((V, F)).astype(np.float32)
+    xd, wd = jnp.asarray(x), jnp.asarray(w)
+    te = build_tiled(s, r, V, weights=w, ts=1024, tr=1024, chunk=128)
+
+    ref = jax.jit(lambda wv, xv: spmm(jnp.asarray(s), jnp.asarray(r),
+                                      wv, xv, V))(wd, xd)
+    scale = float(jnp.max(jnp.abs(ref)))
+
+    got32 = jax.jit(
+        lambda wv, xv: tiled_spmm(te, wv, xv, compute_dtype=jnp.float32)
+    )(wd, xd)
+    assert float(jnp.max(jnp.abs(got32 - ref))) / scale < 1e-5
+
+    # bf16 payload: the documented accuracy contract for the default mode
+    got16 = jax.jit(
+        lambda wv, xv: tiled_spmm(te, wv, xv, compute_dtype=jnp.bfloat16)
+    )(wd, xd)
+    assert float(jnp.max(jnp.abs(got16 - ref))) / scale < 5e-2
+
+    # gradient pair (transpose-spmm for dx, SDDMM for dw) on-chip, f32
+    def loss_t(wv, xv):
+        out = tiled_spmm(te, wv, xv, compute_dtype=jnp.float32)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_x(wv, xv):
+        out = spmm(jnp.asarray(s), jnp.asarray(r), wv, xv, V)
+        return jnp.sum(out * jnp.cos(out))
+
+    gt = jax.jit(jax.grad(loss_t, argnums=(0, 1)))(wd, xd)
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(wd, xd)
+    for a, b in zip(gt, gx):
+        denom = float(jnp.max(jnp.abs(b))) or 1.0
+        assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-4
