@@ -26,6 +26,7 @@ _REFERENCE_ALIASES = {
     "example_model.model_multimodal_vec:GCN": "gcn_vector_modal",
     "example_model.model_multimodal_regression:GCN": "gcn_multimodal",
     "sample_kg.network_prediction.model_py.distmult:DistMult": "kg_distmult",
+    "example_model.model_rxn_3layer:GCN": "gcn_rxn_3layer",
     "model": "gcn",
 }
 
@@ -82,6 +83,17 @@ def _gin(info, config):
     from kgcn_tpu.models.standard import GIN
 
     return GIN(**_common(info, config))
+
+
+@register("gcn_rxn_3layer")
+def _gcn_rxn_3layer(info, config):
+    from kgcn_tpu.models.standard import RxnGCN
+
+    return RxnGCN(
+        **_common(info, config),
+        all_node_num=info.all_node_num,
+        embedding_dim=int(config.get("embedding_dim", 10)),
+    )
 
 
 @register("gat")

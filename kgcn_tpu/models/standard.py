@@ -74,6 +74,41 @@ class GCN(nn.Module):
         return ModelOutput(pred, cost_opt, cost_sum, metrics)
 
 
+class RxnGCN(nn.Module):
+    """Reaction-template classifier: 3×(GraphConv(128) + GraphBN + relu) →
+    GraphDense(128) + relu → GraphGather → Dense(label_dim), masked softmax
+    CE (reference: example_model/model_rxn_3layer.py — legacy-layer stack
+    with fixed dropout_rate 0.3 declared but unused, which we mirror by not
+    applying dropout).  Supports featureless embedding mode like the
+    reference (Embedding(all_node_num, embedding_dim))."""
+
+    channels: int = 1
+    label_dim: int = 2
+    hidden: int = 128
+    all_node_num: Optional[int] = None
+    embedding_dim: int = 10
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> ModelOutput:
+        g = batch.graph.with_dense_adj()
+        x = _maybe_embed(batch, self.all_node_num, self.embedding_dim)
+        for _ in range(3):
+            x = knn.GraphConv(self.hidden, self.channels)(x, g)
+            x = knn.GraphBatchNormalization()(
+                x, g, use_running_average=not train
+            )
+            x = jax.nn.relu(x)
+        x = jax.nn.relu(knn.GraphDense(self.hidden)(x, g))
+        h = knn.GraphGather()(x, g)
+        logits = nn.Dense(self.label_dim)(h)
+        cost_opt, cost_sum, pred, metrics = softmax_ce_cost(
+            logits, batch.labels, batch.pad_mask
+        )
+        # reference optimises the MEAN of masked per-example costs
+        # (model_rxn_3layer.py: cost_opt = reduce_mean)
+        return ModelOutput(pred, cost_opt, cost_sum, metrics)
+
+
 class GIN(nn.Module):
     """2-block GIN with per-block readout concat
     (reference: example_model/model_gin.py:29-78)."""

@@ -309,11 +309,18 @@ class GraphBatchNormalization(nn.Module):
     Masked moments compute the same statistics with static shapes.
     """
 
-    # Keras default momentum is 0.99; we default to 0.9 so running statistics
-    # converge within the short epoch counts typical of these workloads (the
-    # reference effectively validated with batch statistics — its training
-    # graph served pred_and_eval, kgcn/core.py:287-299 — so slow-moving
-    # running averages never hurt it).
+    # Momentum note (validated, tests/test_reference_parity.py trajectory
+    # test): the reference's BN momentum is IRRELEVANT to its behaviour —
+    # it never feeds the Keras learning phase, so its BatchNormalization
+    # resolves training=0 at graph build, creates NO update ops
+    # (kgcn/core.py:122 collects an empty UPDATE_OPS), and normalises with
+    # frozen initial statistics (mean 0, var 1) for its entire life: the
+    # layer degenerates to ``x·γ/√(1+ε)+β``.  Our layer performs real
+    # mask-aware batch normalisation; momentum 0.9 (vs Keras's 0.99) makes
+    # the running statistics OUR eval path uses converge within the short
+    # epoch counts typical of these workloads.  Reference-exact trajectories
+    # are reproduced by running with ``use_running_average=True`` (frozen
+    # stats) — 5-epoch Adam loss curves then match the reference to ~1e-5.
     momentum: float = 0.9
     epsilon: float = 1e-3
     use_running_average: Optional[bool] = None

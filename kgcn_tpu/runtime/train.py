@@ -64,6 +64,23 @@ class EarlyStopping:
         return stop
 
 
+class EarlyStoppingMultiTask(EarlyStopping):
+    """Per-task epoch reporting for multitask models (reference:
+    ``EarlyStoppingMultiTask``, kgcn/core.py:78-117 — shipped commented-out
+    at kgcn/core.py:236; selectable here via config
+    ``early_stopping: "multitask"``).  The stopping decision is identical to
+    the base class (single aggregated validation cost), matching the
+    reference; only the epoch line gains ``each acc=[...]`` per-task
+    readouts."""
+
+    @staticmethod
+    def each_bit(metrics: Optional[Dict[str, Any]], key: str) -> str:
+        if not metrics or key not in metrics:
+            return ""
+        vals = np.asarray(metrics[key]).ravel()
+        return " (each acc=[" + " ".join(f"{v:.3g}" for v in vals) + "])"
+
+
 class CachedBatches:
     """Materialise a batcher's shuffle=False batches ONCE (device-resident)
     and replay them — validation batches are identical every epoch, so the
@@ -485,7 +502,10 @@ class Trainer:
         model_dir = cfg.get("save_model_path") or "model"
         task = cfg.get("task", "multitask_classification")
 
-        es = EarlyStopping(patience, task)
+        if str(cfg.get("early_stopping", "")) == "multitask":
+            es = EarlyStoppingMultiTask(patience, task)
+        else:
+            es = EarlyStopping(patience, task)
         if valid_batcher is not None and hasattr(valid_batcher, "batch_valid_counts"):
             valid_batcher = CachedBatches(valid_batcher)
         best_cost = np.inf
@@ -546,12 +566,18 @@ class Trainer:
             acc_bit = ""
             if "training_accuracy" in row:
                 acc_bit = f" (acc={row['training_accuracy']:.4g})"
+            if isinstance(es, EarlyStoppingMultiTask):
+                acc_bit += es.each_bit(train_agg, "training_each_accuracy")
             v_bit = ""
             if valid_cost is not None:
                 vacc = row.get("validation_accuracy")
                 v_bit = f", validation cost {valid_cost:.6g}" + (
                     f" (acc={vacc:.4g})" if vacc is not None else ""
                 )
+                if isinstance(es, EarlyStoppingMultiTask):
+                    v_bit += es.each_bit(
+                        ev["metrics"], "validation_each_accuracy"
+                    )
             s_bit = f" ([SAVE] {save_path})" if save_path else ""
             log(
                 f"epoch {epoch}, training cost {train_cost:.6g}{acc_bit}"

@@ -231,3 +231,205 @@ def test_distmult_full_parity():
         {"params": {"kernel": jnp.asarray(w)}}, x, gb
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_graphbn_reference_semantics_and_masked_moments():
+    """GraphBatchNormalization parity (reference: kgcn/layers.py:170-220).
+
+    Finding (validated here): the reference NEVER feeds the Keras learning
+    phase, so its BN resolves training=0 at graph build, creates no
+    UPDATE_OPS, and normalises with frozen initial statistics forever — the
+    layer degenerates to x·γ/√(1+ε)+β.  (a) our frozen mode
+    (use_running_average=True) matches it exactly; (b) our batch-stats mode
+    matches a NumPy masked-moments oracle — the behaviour the reference's
+    slicing dance *intended*."""
+    dense, feats = _toy(seed=3, channels=1)
+    enabled = np.array([4, 6], np.int32)  # graph 0 has 2 padding rows
+
+    tf.reset_default_graph()
+    tf.set_random_seed(0)
+    x = tf.constant(feats)
+    bn = ref_layers.GraphBatchNormalization()
+    out_t = bn(x, max_node_num=N, enabled_node_nums=tf.constant(enabled))
+    with tf.Session() as sess:
+        sess.run(tf.global_variables_initializer())
+        assert len(tf.get_collection(tf.compat.v1.GraphKeys.UPDATE_OPS)) == 0
+        ref_out = sess.run(out_t)
+        weights = sess.run({v.name: v for v in tf.trainable_variables()})
+
+    gamma = [v for k, v in weights.items() if "gamma" in k][0]
+    beta = [v for k, v in weights.items() if "beta" in k][0]
+    gb = _graph_batch(dense, feats)
+    gb = gb.replace(
+        node_mask=jnp.asarray(
+            (np.arange(N)[None, :] < enabled[:, None]).astype(np.float32)
+        ).reshape(-1)
+    )
+    x_flat = jnp.asarray(feats.reshape(B * N, F))
+    variables = {
+        "params": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)},
+        "batch_stats": {"mean": jnp.zeros((F,)), "var": jnp.ones((F,))},
+    }
+    ours_frozen = knn.GraphBatchNormalization().apply(
+        variables, x_flat, gb, use_running_average=True
+    )
+    # the reference zero-pads disabled rows after BN; ours masks — compare
+    # on the same masked grid
+    mask = (np.arange(N)[None, :] < enabled[:, None]).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours_frozen).reshape(B, N, F),
+        ref_out * mask[:, :, None],
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # batch-stats mode vs NumPy masked-moments oracle
+    ours_bs, _ = knn.GraphBatchNormalization().apply(
+        variables, x_flat, gb, use_running_average=False,
+        mutable=["batch_stats"],
+    )
+    rows = np.concatenate([feats[g, : enabled[g]] for g in range(B)], axis=0)
+    mu, var = rows.mean(0), rows.var(0)
+    want = (feats - mu) / np.sqrt(var + 1e-3) * gamma + beta
+    np.testing.assert_allclose(
+        np.asarray(ours_bs).reshape(B, N, F),
+        want * mask[:, :, None],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_trajectory_parity_5_epoch_adam():
+    """Whole-training-step equivalence: 5 Adam epochs on the reference's GCN
+    architecture (example_model/model.py:30-71) from identical initial
+    weights produce the SAME loss curve (rel err < 1e-3 per epoch) — the
+    forward, gradients, optimizer, and CE all match end-to-end.  The
+    reference's BN runs frozen (see test above), so ours runs
+    use_running_average=True here."""
+    import optax
+    from flax import linen as fnn
+    from flax.core import unfreeze
+
+    from kgcn_tpu.data.synthetic import make_ring_dataset
+    from kgcn_tpu.graph.transforms import normalize_adj
+
+    Bt, Nt = 20, 10
+    data = make_ring_dataset(num_pairs=Bt // 2, seed=0)
+    dense = np.asarray(data["dense_adj"], np.float32)[None]
+    for g in range(Bt):
+        np.fill_diagonal(dense[0, g], 1.0)
+        r, c = np.nonzero(dense[0, g])
+        rn, cn, vn = normalize_adj(r, c, dense[0, g][r, c], Nt)
+        dense[0, g] = 0
+        dense[0, g][rn, cn] = vn
+    feats = np.asarray(data["feature"], np.float32)
+    Ft = feats.shape[-1]
+    labels = np.asarray(data["label"], np.float32)  # already one-hot [G, 2]
+    EPOCHS, LR = 5, 0.01
+
+    # ---- reference side (TF1 graph) ----
+    from tensorflow.python.keras import layers as legacy_layers
+
+    tf.reset_default_graph()
+    tf.set_random_seed(0)
+    phs, feed = [], {}
+    for g in range(Bt):
+        ph = tf.sparse_placeholder(tf.float32)
+        idx = np.stack(np.nonzero(dense[0, g]), 1).astype(np.int64)
+        feed[ph] = tf.SparseTensorValue(
+            idx, dense[0, g][idx[:, 0], idx[:, 1]], (Nt, Nt)
+        )
+        phs.append([ph])
+    xt = tf.constant(feats)
+    yt = tf.constant(labels)
+    layer = tf.sigmoid(ref_layers.GraphConv(50, 1)(xt, adj=phs))
+    layer = tf.sigmoid(ref_layers.GraphConv(50, 1)(layer, adj=phs))
+    layer = ref_layers.GraphConv(50, 1)(layer, adj=phs)
+    layer = ref_layers.GraphBatchNormalization()(
+        layer, max_node_num=Nt,
+        enabled_node_nums=tf.constant(np.full((Bt,), Nt, np.int32)),
+    )
+    layer = tf.sigmoid(layer)
+    layer = tf.sigmoid(ref_layers.GraphDense(50)(layer))
+    layer = ref_layers.GraphGather()(layer)
+    logits = legacy_layers.Dense(2)(layer)
+    cost_opt = tf.reduce_mean(
+        tf.nn.softmax_cross_entropy_with_logits_v2(labels=yt, logits=logits)
+    )
+    step = tf.train.AdamOptimizer(LR).minimize(cost_opt)
+    with tf.Session() as sess:
+        sess.run(tf.global_variables_initializer())
+        weights = sess.run({v.name: v for v in tf.trainable_variables()})
+        ref_curve = []
+        for _ in range(EPOCHS):
+            ref_curve.append(float(sess.run(cost_opt, feed_dict=feed)))
+            sess.run(step, feed_dict=feed)
+        ref_curve.append(float(sess.run(cost_opt, feed_dict=feed)))
+
+    # ---- our side (flax + optax), same initial weights ----
+    class RefGCN(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, g):
+            x = jax.nn.sigmoid(knn.GraphConv(50, 1)(x, g))
+            x = jax.nn.sigmoid(knn.GraphConv(50, 1)(x, g))
+            x = knn.GraphConv(50, 1)(x, g)
+            x = knn.GraphBatchNormalization()(
+                x, g, use_running_average=True  # reference-frozen semantics
+            )
+            x = jax.nn.sigmoid(x)
+            x = jax.nn.sigmoid(knn.GraphDense(50)(x, g))
+            return fnn.Dense(2)(knn.GraphGather()(x, g))
+
+    adjs = []
+    for g in range(Bt):
+        r, c = np.nonzero(dense[0, g])
+        adjs.append([(np.stack([r, c], 1), dense[0, g][r, c], (Nt, Nt))])
+    from kgcn_tpu.graph.batch import batch_graphs as bg
+
+    gbt = bg(adjs, feats, Nt)
+    xf = jnp.asarray(feats.reshape(Bt * Nt, Ft))
+    yf = jnp.asarray(labels)
+    model = RefGCN()
+    variables = model.init(jax.random.PRNGKey(0), xf, gbt)
+    params = unfreeze(variables["params"])
+
+    def W(name):
+        return jnp.asarray(weights[name])
+
+    for i, lyr in enumerate(["GraphConv_0", "GraphConv_1", "GraphConv_2"]):
+        sfx = "" if i == 0 else f"_{i}"
+        params[lyr] = {
+            "kernel": W(f"graph_conv{sfx}/kernel0:0")[None],
+            "bias": W(f"graph_conv{sfx}/bias0:0").reshape(1, -1),
+        }
+    params["GraphBatchNormalization_0"] = {
+        "scale": W([k for k in weights if "gamma" in k][0]),
+        "bias": W([k for k in weights if "beta" in k][0]),
+    }
+    params["GraphDense_0"] = {"Dense_0": {
+        "kernel": W("graph_dense/kernel:0"),
+        "bias": W("graph_dense/bias:0"),
+    }}
+    params["Dense_0"] = {"kernel": W("dense/kernel:0"),
+                         "bias": W("dense/bias:0")}
+    bstats = variables["batch_stats"]
+    tx_opt = optax.adam(LR)
+    opt_state = tx_opt.init(params)
+
+    def loss_fn(p):
+        logits = model.apply({"params": p, "batch_stats": bstats}, xf, gbt)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return jnp.mean(-jnp.sum(yf * logp, axis=-1))
+
+    @jax.jit
+    def train_step(p, opt):
+        c, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt = tx_opt.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, c
+
+    our_curve = []
+    for _ in range(EPOCHS):
+        params, opt_state, c = train_step(params, opt_state)
+        our_curve.append(float(c))
+    our_curve.append(float(loss_fn(params)))
+
+    for a, b in zip(ref_curve, our_curve):
+        assert abs(a - b) / max(abs(a), 1e-6) < 1e-3, (ref_curve, our_curve)

@@ -218,3 +218,43 @@ def test_node_label_above_lane_rounding(tmp_path):
     state = trainer.init_state(tb.make_batch(np.arange(G)), seed=0)
     state, cost, _, _ = trainer.run_epoch(state, tb)
     assert np.isfinite(cost)
+
+
+def test_rxn_3layer_model_learns(tmp_path):
+    """gcn_rxn_3layer (reference example_model/model_rxn_3layer.py) trains on
+    the ring task and is reachable by its reference dotted-path alias."""
+    from kgcn_tpu.models.registry import build_model as bm
+    from kgcn_tpu.models.standard import RxnGCN
+
+    trainer, tb, vb = _setup("example_model.model_rxn_3layer:GCN", epochs=20)
+    assert isinstance(trainer.model, RxnGCN)
+    trainer.config["save_model_path"] = str(tmp_path)
+    state = trainer.init_state(tb.make_batch(np.arange(tb.batch_size)), seed=0)
+    state, _ = trainer.fit(state, tb, vb, log=lambda s: None)
+    ev = trainer.evaluate(state, vb, "validation_")
+    acc = float(ev["metrics"]["validation_accuracy"])
+    assert acc >= 0.8, f"rxn acc={acc}"
+
+
+def test_multitask_early_stopping_prints_per_task(tmp_path):
+    """early_stopping: "multitask" selects EarlyStoppingMultiTask and the
+    epoch lines carry per-task accuracies (reference: kgcn/core.py:78-117)."""
+    data = make_ring_dataset(num_pairs=20, seed=0)
+    rng = np.random.RandomState(0)
+    n = len(data["label"])
+    y = np.concatenate([data["label"][:, :1]] * 3, axis=1)
+    mask = (rng.random_sample((n, 3)) > 0.2).astype(np.int64)
+    data["label"], data["mask_label"] = y, mask
+    trainer, tb, vb = _setup(
+        "gcn_multitask",
+        {"task": "multitask_classification", "early_stopping": "multitask",
+         "epoch": 2},
+        data=data,
+        epochs=2,
+    )
+    trainer.config["save_model_path"] = str(tmp_path)
+    state = trainer.init_state(tb.make_batch(np.arange(tb.batch_size)), seed=0)
+    lines = []
+    state, _ = trainer.fit(state, tb, vb, log=lines.append)
+    epoch_lines = [l for l in lines if l.startswith("epoch ")]
+    assert epoch_lines and all("each acc=[" in l for l in epoch_lines), lines
