@@ -177,15 +177,15 @@ class GAT(nn.Module):
         edge_mask = graph.edge_mask()
         for c in range(self.channels):
             s, r = graph.senders[c], graph.receivers[c]
-            xs, xr = x[s], x[r]
-            # logits = leakyrelu([x_sender ‖ x_receiver] · a); the softmax
-            # itself runs in float32 regardless of the compute dtype (exp of
-            # bf16 logits loses too much resolution)
-            logit = (
-                xs @ a[c, :F, 0] + xr @ a[c, F:, 0]
-            ).astype(jnp.float32)
+            # logits = leakyrelu([x_sender ‖ x_receiver] · a).  The bilinear
+            # form factorises into per-NODE scores gathered per edge — two
+            # [V] matvecs + scalar gathers instead of [E, 2F] concats.  The
+            # softmax runs in float32 regardless of the compute dtype (exp
+            # of bf16 logits loses too much resolution).
+            ls = (x @ a[c, :F, 0]).astype(jnp.float32)   # sender score [V]
+            lr = (x @ a[c, F:, 0]).astype(jnp.float32)   # receiver score
             # tf.nn.leaky_relu default alpha=0.2 (reference kgcn/layers.py:528)
-            logit = nn.leaky_relu(logit, negative_slope=0.2)
+            logit = nn.leaky_relu(ls[s] + lr[r], negative_slope=0.2)
             if self.normalize == "receiver":
                 alpha = segment.segment_softmax(logit, r, V, mask=edge_mask[c])
             else:
@@ -193,7 +193,18 @@ class GAT(nn.Module):
                 e = jnp.exp(logit) * edge_mask[c]
                 denom = segment.segment_sum(e, r, V)
                 alpha = e / (denom[s] + 1e-10)
-            agg = segment.segment_sum(alpha.astype(x.dtype)[:, None] * xs, r, V)
+            if graph.tiled_adj is not None:
+                # attention-weighted aggregation through the tiled one-hot
+                # MXU kernel; its VJP emits d(alpha) via the tiled SDDMM —
+                # the reference's bspmm gradient pair fused into attention
+                # (kgcn/bspmm_call.py:21-57, kgcn/layers.py:477-542)
+                from kgcn_tpu.ops.tiled_spmm import tiled_spmm
+
+                agg = tiled_spmm(graph.tiled_adj[c], alpha, x).astype(x.dtype)
+            else:
+                agg = segment.segment_sum(
+                    alpha.astype(x.dtype)[:, None] * x[s], r, V
+                )
             outs.append(jax.nn.sigmoid(agg))
         return sum(outs)
 

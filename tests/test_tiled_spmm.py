@@ -213,10 +213,13 @@ def test_tiled_spmm_bf16_mode_close():
 
 
 @tiny_tiles
-def test_tiled_backend_end_to_end_matches_xla():
+@pytest.mark.parametrize("model_name", ["gcn", "gat"])
+def test_tiled_backend_end_to_end_matches_xla(model_name):
     """spmm_backend="tiled": the Batcher attaches TiledCOO structures, the
-    layers dispatch through them, and a short training run produces the same
-    parameters as the XLA backend (interpret mode; f32 compute dtype)."""
+    layers (GraphConv/GIN aggregation AND the GAT attention path, whose VJP
+    exercises the tiled SDDMM) dispatch through them, and a short training
+    run produces the same parameters as the XLA backend (interpret mode;
+    f32 compute dtype)."""
     from kgcn_tpu.data import Batcher, build_dataset
     from kgcn_tpu.data.synthetic import make_random_graphs
     from kgcn_tpu.graph.batch import set_dense_path
@@ -244,7 +247,7 @@ def test_tiled_backend_end_to_end_matches_xla():
                 assert batch.graph.tiled_adj[0].transpose is not None
             else:
                 assert batch.graph.tiled_adj is None
-            model = build_model("gcn", info, cfg)
+            model = build_model(model_name, info, cfg)
             trainer = Trainer(model, cfg, info)
             state = trainer.init_state(batch, seed=0)
             for _ in range(3):
