@@ -168,7 +168,7 @@ def bench_tiled_spmm(F=128, iters=50, seed=0):
     return out
 
 
-def bench_sparse_engine_tiled(B=64, N=512, F=81, avg_degree=8, iters=20,
+def bench_sparse_engine_tiled(B=16, N=512, F=81, avg_degree=8, iters=20,
                               seed=0):
     """The shipped sparse reaction engine (models/sparse.SparseGCN) at a
     beyond-dense-threshold node count (N=512 > 256): full train step through
@@ -229,14 +229,19 @@ def bench_sparse_engine_tiled(B=64, N=512, F=81, avg_degree=8, iters=20,
                     batch_stats=bs, opt_state=opt, step=st.step + 1,
                 )
 
-            looped = jax.jit(
-                lambda s, n: lax.fori_loop(0, n, lambda i, st: one(st), s)
-            )
-            s2 = looped(state, 2)
+            # NB: no fori_loop wrapper here — the remote compile service
+            # on this environment takes >1 h for the looped graph at this
+            # size; per-dispatch jitter (~1-10 ms) is acceptable against
+            # the >=10 ms step times of this workload
+            one_jit = jax.jit(one)
+            s2 = one_jit(state)
+            jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+            s2 = one_jit(s2)
             jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
             t0 = time.perf_counter()
-            s3 = looped(s2, iters)
-            jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
+            for _ in range(iters):
+                s2 = one_jit(s2)
+            jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
             dt = (time.perf_counter() - t0) / iters
             out[f"sparse_engine_{backend}_step_s"] = dt
             out[f"sparse_engine_{backend}_edges_per_s"] = (
