@@ -1,0 +1,11 @@
+package org.kgcn.tpu.knime.nodes.GCNDatasetSplitter;
+
+import org.knime.core.node.defaultnodesettings.*;
+
+public class GCNDatasetSplitterNodeDialog extends DefaultNodeSettingsPane {
+
+    protected GCNDatasetSplitterNodeDialog() {
+        super();
+        addDialogComponent(new DialogComponentNumber(new SettingsModelDouble("ratio", 0.8), "ratio", 1));
+    }
+}

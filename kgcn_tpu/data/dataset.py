@@ -175,8 +175,22 @@ def build_dataset(data: Dict[str, Any], config: Optional[Dict[str, Any]] = None,
         if not max_node_num:
             max_node_num = int(max(np.asarray(m).shape[0] for lm in raw for m in lm))
     elif "adj" in data:
-        raw = data["adj"]
-        if raw and _is_coo_tuple(raw[0]):
+        # the KNIME preprocessing chain (KNIME/py, reference and ours) stores
+        # adj as an object NDARRAY rather than a list — normalise, and drop
+        # None placeholders a clean_dataset pass would have removed
+        raw = list(data["adj"])
+        if any(a is None for a in raw):
+            keep_adj = [i for i, a in enumerate(raw) if a is not None]
+            raw = [raw[i] for i in keep_adj]
+            for key in ("label", "mask_label", "feature"):
+                if key in data and data[key] is not None:
+                    arr = data[key]
+                    data[key] = (
+                        np.asarray([arr[i] for i in keep_adj])
+                        if not isinstance(arr, list)
+                        else [arr[i] for i in keep_adj]
+                    )
+        if len(raw) and _is_coo_tuple(raw[0]):
             enabled = np.array([int(t[2][0]) for t in raw], np.int32)
             adjs = [[_tuple_to_coo(t)] for t in raw]
         else:
