@@ -2,6 +2,8 @@ import sys
 import faulthandler
 faulthandler.dump_traceback_later(120, repeat=True, file=open("/tmp/debug_sparse_stack.log", "w"))
 sys.path.insert(0, "/root/repo")
+from kgcn_tpu.runtime.jax_setup import setup_jax
+setup_jax({})
 import time
 
 t0 = time.time()

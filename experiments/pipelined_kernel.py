@@ -12,6 +12,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+from kgcn_tpu.runtime.jax_setup import setup_jax
+setup_jax({})
 
 import jax
 import jax.numpy as jnp
