@@ -666,19 +666,20 @@ def main(argv=None):
     if config.get("debug_nan"):
         jax.config.update("jax_debug_nans", True)
     backend = str(config.get("spmm_backend", "auto"))
-    if backend in ("xla", "pallas", "tiled"):
+    if backend in ("xla", "pallas", "tiled", "stream"):
         from kgcn_tpu.graph.batch import set_dense_path
         import importlib
         spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
 
         set_dense_path(False)
         spmm_mod.set_backend(backend)
-        if backend == "tiled":
+        if backend in ("tiled", "stream"):
+            from kgcn_tpu.ops import stream_spmm as stream_mod
             from kgcn_tpu.ops import tiled_spmm as tiled_mod
 
-            tiled_mod.set_compute_dtype(
-                config.get("tiled_compute_dtype", "bfloat16")
-            )
+            dt = config.get("tiled_compute_dtype", "bfloat16")
+            tiled_mod.set_compute_dtype(dt)
+            stream_mod.set_compute_dtype(dt)
     elif backend == "dense":
         from kgcn_tpu.graph.batch import set_dense_path
 

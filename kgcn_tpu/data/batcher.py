@@ -109,6 +109,7 @@ class Batcher:
         # chunk budget padded so every batch shares one compiled executable
         self._tiled_cfg = None
         self._tiled_budget = None
+        self._stream_budget = None
 
     def _prepare_native(self) -> None:
         """Precompute flat COO blocks so each batch is one native C call
@@ -381,8 +382,34 @@ class Batcher:
             except ValueError:
                 self._tiled_budget *= 2
 
+    def _attach_stream(self, graph):
+        """Attach per-channel stream structures when the ``stream`` spmm
+        backend is active (streaming scatter kernel, ops/stream_spmm.py).
+
+        The macro list is padded to a pinned budget (grown by doubling on
+        overflow) so streaming batches share one compiled executable;
+        adjacency weights are baked in at build time."""
+        import importlib
+        spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
+
+        if spmm_mod.get_backend() != "stream":
+            return graph
+        if self._stream_budget is None:
+            probe = graph.with_stream()
+            budget = max(
+                max(t.meta.n_macros for t in probe.stream_adj),
+                max(t.transpose.meta.n_macros for t in probe.stream_adj),
+            )
+            self._stream_budget = max(int(budget * 1.25), budget + 1)
+        while True:
+            try:
+                return graph.with_stream(macro_budget=self._stream_budget)
+            except ValueError:
+                self._stream_budget *= 2
+
     def _finish_batch(self, graph, idx, G: int, B: int) -> Batch:
         graph = self._attach_tiled(graph)
+        graph = self._attach_stream(graph)
         ds = self.ds
 
         def pad_rows(x):

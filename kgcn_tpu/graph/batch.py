@@ -93,6 +93,11 @@ class GraphBatch:
     # Pallas one-hot MXU SpMM kernel (ops/tiled_spmm.py) — the ``tiled``
     # spmm backend; built host-side by ``with_tiled()`` / the Batcher.
     tiled_adj: Optional[tuple] = None
+    # Optional per-channel stream structures (tuple of StreamCOO) for the
+    # streaming scatter SpMM kernel (ops/stream_spmm.py) — the ``stream``
+    # spmm backend for scattered big graphs; adjacency weights are baked in
+    # (static per batch), so layers call it weight-free.
+    stream_adj: Optional[tuple] = None
     n_graph: int = struct.field(pytree_node=False, default=1)
     max_nodes: int = struct.field(pytree_node=False, default=1)
 
@@ -216,6 +221,34 @@ class GraphBatch:
                 )
             )
         return self.replace(tiled_adj=tuple(tes))
+
+    def with_stream(self, *, macro_budget: Optional[int] = None,
+                    params: Optional[dict] = None) -> "GraphBatch":
+        """Return a copy carrying per-channel stream structures for the
+        streaming scatter SpMM kernel (``spmm_backend: "stream"`` —
+        ops/stream_spmm.py, the scattered big-graph kernel).
+
+        HOST-SIDE ONLY.  Adjacency weights are baked into the structures
+        (and into materialised one-hots when they fit the budget), so the
+        layer-side call carries no per-step weight traffic.
+        ``macro_budget``: pad the macro list so streaming batches of varying
+        topology share one compiled executable."""
+        if self.stream_adj is not None:
+            return self
+        import numpy as _np
+
+        from kgcn_tpu.ops.stream_spmm import build_stream
+
+        s = _np.asarray(self.senders)
+        r = _np.asarray(self.receivers)
+        w = _np.asarray(self.edge_weights)
+        kw = dict(params or {})
+        sss = tuple(
+            build_stream(s[c], r[c], self.total_nodes, weights=w[c],
+                         macro_budget=macro_budget, **kw)
+            for c in range(s.shape[0])
+        )
+        return self.replace(stream_adj=sss)
 
 
 _DENSE_PATH_ENABLED = [True]

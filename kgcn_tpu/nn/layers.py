@@ -106,6 +106,13 @@ class GraphConv(nn.Module):
             out = gconv_dense(graph.dense_adj, xb, w, b)
             return out.reshape(graph.total_nodes, F_out)
         hw = jnp.einsum("vf,cfo->cvo", x, w) + b[:, None, :]
+        if graph.stream_adj is not None:
+            # streaming scatter kernel (spmm_backend: "stream") — static
+            # adjacency weights are baked into the structures
+            return spmm_multichannel(
+                graph.senders, graph.receivers, graph.edge_weights, hw,
+                graph.total_nodes, backend="stream", stream=graph.stream_adj,
+            )
         if graph.tiled_adj is not None:
             # tiled one-hot MXU Pallas kernel (spmm_backend: "tiled")
             return spmm_multichannel(
@@ -135,6 +142,11 @@ class GINAggregate(nn.Module):
         if graph.dense_adj is not None:
             xb = x.reshape(graph.n_graph, graph.max_nodes, -1)
             agg = spmm_dense(graph.dense_adj, xb).reshape(x.shape)
+        elif graph.stream_adj is not None:
+            agg = spmm_multichannel(
+                graph.senders, graph.receivers, graph.edge_weights, x,
+                graph.total_nodes, backend="stream", stream=graph.stream_adj,
+            )
         elif graph.tiled_adj is not None:
             agg = spmm_multichannel(
                 graph.senders, graph.receivers, graph.edge_weights, x,

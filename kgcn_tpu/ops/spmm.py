@@ -38,7 +38,7 @@ _BACKEND = "xla"
 
 def set_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("xla", "pallas", "tiled"), name
+    assert name in ("xla", "pallas", "tiled", "stream"), name
     _BACKEND = name
 
 
@@ -61,7 +61,7 @@ def _warn_pallas_fallback() -> None:
 
 
 def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = None,
-         max_degree: int | None = None, tiled=None):
+         max_degree: int | None = None, tiled=None, stream=None):
     """``out[r] = Σ_{e: receivers[e]=r} weights[e] * x[senders[e]]``.
 
     senders/receivers: [E] int32, weights: [E], x: [V, F] → [num_nodes, F].
@@ -69,8 +69,19 @@ def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = N
     ``tiled``: optional prebuilt :class:`~kgcn_tpu.ops.tiled_spmm.TiledCOO`
     for the same edge list — used by the ``tiled`` backend (the Pallas
     one-hot MXU kernel; built host-side via ``build_tiled``).
+    ``stream``: optional prebuilt
+    :class:`~kgcn_tpu.ops.stream_spmm.StreamCOO` — the ``stream`` backend
+    (scattered big-graph kernel; built host-side via ``build_stream``).
+    When the structure carries baked static weights the call is weight-free;
+    otherwise the given edge-order weights are realigned with row-takes.
     """
     backend = backend or _BACKEND
+    if backend == "stream" and stream is not None:
+        from kgcn_tpu.ops.stream_spmm import stream_spmm, stream_spmm_edges
+
+        if stream.w_slots is not None:
+            return stream_spmm(stream, x=x).astype(x.dtype)
+        return stream_spmm_edges(stream, weights, x).astype(x.dtype)
     if backend == "tiled" and tiled is not None:
         from kgcn_tpu.ops.tiled_spmm import tiled_spmm
 
@@ -86,17 +97,26 @@ def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = N
 
 def spmm_multichannel(
     senders, receivers, weights, x, num_nodes: int, backend: str | None = None,
-    max_degree: int | None = None, tiled=None,
+    max_degree: int | None = None, tiled=None, stream=None,
 ):
     """Channel-summed spmm: ``out[r] = Σ_c Σ_e w[c,e] · x_c[s[c,e]]``.
 
     senders/receivers/weights: [C, E]; x: [C, V, F] (per-channel features, the
     Bconv layout where each channel has its own projected features) or [V, F]
     (shared features).  Returns [num_nodes, F].  ``tiled``: optional tuple of
-    per-channel prebuilt TiledCOO structures (the ``tiled`` backend).
+    per-channel prebuilt TiledCOO structures (the ``tiled`` backend);
+    ``stream``: tuple of per-channel StreamCOO (the ``stream`` backend).
     """
     backend = backend or _BACKEND
     C, E = senders.shape
+    if backend == "stream" and stream is not None:
+        out = None
+        for c in range(C):  # C is small and static
+            xc = x[c] if x.ndim == 3 else x
+            o = spmm(senders[c], receivers[c], weights[c], xc, num_nodes,
+                     backend="stream", stream=stream[c])
+            out = o if out is None else out + o
+        return out.astype(x.dtype)
     if backend == "tiled" and tiled is not None:
         from kgcn_tpu.ops.tiled_spmm import tiled_spmm
 

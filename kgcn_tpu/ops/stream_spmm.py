@@ -112,6 +112,7 @@ class StreamCOO:
     meta: StreamMeta = struct.field(pytree_node=False)
     t_from_f: Optional[jax.Array] = None
     w_slots: Optional[jax.Array] = None
+    oh: Optional[jax.Array] = None
     transpose: Optional["StreamCOO"] = None
 
 
@@ -179,11 +180,17 @@ def _build_one(s, r, eid, num_senders, num_receivers, num_edges,
     ), slot_src
 
 
+# one-hot materialisation budget: slots × tr_w × 2 bytes per direction.
+# 512 MB covers E ≈ 2M at tr_w=128 — the big-graph regime this kernel owns.
+_MATERIALIZE_BUDGET_BYTES = 512 * 1024 * 1024
+
+
 def build_stream(senders, receivers, num_nodes: int, *,
                  weights=None, num_sender_nodes: int | None = None,
-                 tr_w: int = 128, chunk: int = 128, mc: int = 8, wb: int = 8,
+                 tr_w: int = 64, chunk: int = 64, mc: int = 24, wb: int = 16,
                  with_transpose: bool = True,
-                 macro_budget: int | None = None) -> StreamCOO:
+                 macro_budget: int | None = None,
+                 materialize: bool | str = "auto") -> StreamCOO:
     """Build the stream chunk structure (host-side).
 
     ``weights``: optional [E] — zero-weight (padding) edges are dropped from
@@ -191,6 +198,18 @@ def build_stream(senders, receivers, num_nodes: int, *,
     in (``w_slots`` on both directions) so static-adjacency callers pay no
     per-step weight realignment.  ``macro_budget`` pads the macro list so
     different topologies share one compiled executable.
+
+    ``materialize`` (static weights only): precompute the weighted scatter
+    one-hots as bf16 HBM arrays so the kernel streams them instead of
+    constructing them on the VPU — measured +22% edges/s on the uniform
+    regime (the VPU iota/compare/select was ~0.9 ms of the 1M-edge step).
+    "auto" materialises when the arrays fit ``_MATERIALIZE_BUDGET_BYTES``.
+    Defaults (tr_w=64, chunk=64, mc=24, wb=16) are the on-chip sweep optimum
+    at V=100k/E=1M/F=128 (experiments/stream_variants.py + /tmp sweeps):
+    271 M edges/s vs 72-78 M ELL-XLA; tr_w=64 halves the one-hot stream
+    bytes, which beats the slightly higher padding (1.11 vs 1.05).
+    NB ``mc`` and ``chunk`` must be multiples of 8 for compiled TPU mode
+    (Mosaic block-shape constraint; interpret mode accepts any size).
     """
     assert tr_w % 8 == 0 and chunk % 8 == 0, "sublane alignment"
     s = np.asarray(senders).astype(np.int64)
@@ -213,6 +232,8 @@ def build_stream(senders, receivers, num_nodes: int, *,
     if w_np is not None:
         w_ext = np.concatenate([w_np, np.zeros(1, np.float32)])
         fwd = fwd.replace(w_slots=jnp.asarray(w_ext[slot_src_f]))
+        if _should_materialize(fwd.meta, materialize):
+            fwd = fwd.replace(oh=_materialize_oh(fwd, w_ext[slot_src_f]))
     if with_transpose:
         bwd, slot_src_t = _build_one(r_v, s_v, eid, num_nodes, n_send,
                                      num_edges, tr_w, chunk, mc, wb)
@@ -228,8 +249,28 @@ def build_stream(senders, receivers, num_nodes: int, *,
         bwd = bwd.replace(t_from_f=jnp.asarray(t_from_f))
         if w_np is not None:
             bwd = bwd.replace(w_slots=jnp.asarray(w_ext[slot_src_t]))
+            if _should_materialize(bwd.meta, materialize):
+                bwd = bwd.replace(oh=_materialize_oh(bwd, w_ext[slot_src_t]))
         fwd = fwd.replace(transpose=bwd)
     return fwd
+
+
+def _should_materialize(meta: StreamMeta, materialize) -> bool:
+    if materialize is False:
+        return False
+    nbytes = meta.slots * meta.tr_w * 2
+    if materialize == "auto":
+        return nbytes <= _MATERIALIZE_BUDGET_BYTES
+    return True
+
+
+def _materialize_oh(ss: StreamCOO, w_slots_np) -> jax.Array:
+    """[slots, tr_w] bf16 weighted scatter one-hot (padding slots all-zero)."""
+    m = ss.meta
+    r_loc = np.asarray(ss.r_loc).reshape(-1)
+    oh = np.zeros((m.slots, m.tr_w), np.float32)
+    oh[np.arange(m.slots), r_loc] = np.asarray(w_slots_np, np.float32)
+    return jnp.asarray(oh.astype(jnp.bfloat16))
 
 
 def _pad_macros(ss: StreamCOO, budget: int) -> StreamCOO:
@@ -273,6 +314,16 @@ def _pad_macros(ss: StreamCOO, budget: int) -> StreamCOO:
 # kernels
 
 
+
+def _prec(cdt):
+    """Explicit kernel matmul precision: HIGHEST for the f32 escape hatch
+    (DEFAULT would silently run single-pass bf16 on the MXU), DEFAULT for
+    bf16 payloads.  Always explicit — inheriting the global
+    jax_default_matmul_precision inside Mosaic can fail to lower
+    ("Bad lhs type" observed under the test suite's "highest")."""
+    return (jax.lax.Precision.HIGHEST if jnp.dtype(cdt) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
 def _scatter_kernel(rb_ref, first_ref, rloc_ref, w_ref, wid_ref, g_ref,
                     out_ref, *, chunk, tr_w, mc, wb, cdt):
     """One macro step: three matmuls, no inner loop.
@@ -298,6 +349,7 @@ def _scatter_kernel(rb_ref, first_ref, rloc_ref, w_ref, wid_ref, g_ref,
         oh3, g3,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=_prec(cdt),
     )                                            # (mc, tr_w, F) f32
     wid = wid_ref[:]                             # (mc, 1)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (wb, mc), 0)
@@ -306,8 +358,83 @@ def _scatter_kernel(rb_ref, first_ref, rloc_ref, w_ref, wid_ref, g_ref,
         oh_w, slabs,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_prec(cdt),
     )                                            # (wb, tr_w, F)
     out_ref[:] += blk.reshape(wb * tr_w, -1)
+
+
+def _scatter_kernel_mat(rb_ref, first_ref, wid_ref, oh_ref, g_ref,
+                        out_ref, *, chunk, tr_w, mc, wb):
+    cdt = oh_ref.dtype
+    """Materialised-one-hot variant: the weighted scatter one-hot streams
+    from HBM (built once per static adjacency) instead of being constructed
+    on the VPU each step — measured +22% on the uniform regime."""
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    oh3 = oh_ref[:].reshape(mc, chunk, tr_w)
+    g3 = g_ref[:].reshape(mc, chunk, -1)
+    slabs = jax.lax.dot_general(
+        oh3, g3,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_prec(cdt),
+    )
+    wid = wid_ref[:]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (wb, mc), 0)
+    oh_w = (iota_w == wid.reshape(1, mc)).astype(jnp.float32)
+    blk = jax.lax.dot_general(
+        oh_w, slabs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_prec(cdt),
+    )
+    out_ref[:] += blk.reshape(wb * tr_w, -1)
+
+
+def _scatter_call_mat(meta: StreamMeta, sub_wid, macro_rb, macro_first,
+                      oh, g):
+    """Materialised path: g [slots, F] (cast to oh dtype) → [recv, F] f32."""
+    tr_w, chunk, mc, wb = meta.tr_w, meta.chunk, meta.mc, meta.wb
+    F = g.shape[1]
+    Fp = _round_up(max(F, 1), 128)
+    if Fp != F:
+        g = jnp.pad(g, ((0, 0), (0, Fp - F)))
+    g = g.astype(oh.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(meta.n_macros,),
+        in_specs=[
+            pl.BlockSpec((mc, 1), lambda i, rb, f: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc * chunk, tr_w), lambda i, rb, f: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mc * chunk, Fp), lambda i, rb, f: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb * tr_w, Fp), lambda i, rb, f: (rb[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(_scatter_kernel_mat, chunk=chunk, tr_w=tr_w,
+                             mc=mc, wb=wb)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((meta.n_rb * wb * tr_w, Fp),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * meta.slots * tr_w * Fp,
+            bytes_accessed=meta.slots * (Fp + tr_w) * g.dtype.itemsize
+            + meta.n_rb * wb * tr_w * Fp * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(macro_rb, macro_first, sub_wid, oh, g)
+    return out[: meta.num_receivers, :F]
 
 
 def _dw_kernel(rb_ref, first_ref, rloc_ref, wid_ref, g_ref, dy_ref,
@@ -320,7 +447,8 @@ def _dw_kernel(rb_ref, first_ref, rloc_ref, wid_ref, g_ref, dy_ref,
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (mc, wb), 1)
     oh_w = (iota_w == wid).astype(cdt)
     dyb = dy_ref[:].reshape(wb, tr_w * dy_ref.shape[-1]).astype(cdt)
-    dyw = jnp.dot(oh_w, dyb, preferred_element_type=jnp.float32)
+    dyw = jnp.dot(oh_w, dyb, preferred_element_type=jnp.float32,
+                  precision=_prec(cdt))
     dyw = dyw.reshape(mc, tr_w, -1)              # (mc, tr_w, F)
     rl = rloc_ref[:]
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (mc * chunk, tr_w), 1)
@@ -329,6 +457,7 @@ def _dw_kernel(rb_ref, first_ref, rloc_ref, wid_ref, g_ref, dy_ref,
         oh, dyw.astype(cdt),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=_prec(cdt),
     )                                            # (mc, chunk, F)
     g3 = g_ref[:].astype(jnp.float32).reshape(mc, chunk, -1)
     out_ref[:] = jnp.sum(gr * g3, axis=2)        # (mc, chunk)
@@ -479,6 +608,127 @@ def _core_bwd(meta, cdt_name, res, dy):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _core_static(meta, cdt_name, fwd_ints, bwd_ints, ohF, ohT, x):
+    """Static-weight fast path: materialised one-hots, no dw.
+
+    fwd_ints/bwd_ints = (slot_sender, sub_wid, macro_rb, macro_first)."""
+    cdt = jnp.dtype(cdt_name)
+    g = _take_rows(x, fwd_ints[0], cdt)
+    return _scatter_call_mat(meta[0], fwd_ints[1], fwd_ints[2], fwd_ints[3],
+                             ohF, g)
+
+
+def _core_static_fwd(meta, cdt_name, fwd_ints, bwd_ints, ohF, ohT, x):
+    out = _core_static(meta, cdt_name, fwd_ints, bwd_ints, ohF, ohT, x)
+    return out, (fwd_ints, bwd_ints, ohF, ohT, jnp.zeros((0,), x.dtype))
+
+
+def _core_static_bwd(meta, cdt_name, res, dy):
+    fwd_ints, bwd_ints, ohF, ohT, x_proto = res
+    cdt = jnp.dtype(cdt_name)
+    dg = _take_rows(dy.astype(jnp.float32), bwd_ints[0], cdt)
+    dx = _scatter_call_mat(meta[1], bwd_ints[1], bwd_ints[2], bwd_ints[3],
+                           ohT, dg)
+    d_ints = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape, jax.dtypes.float0), fwd_ints
+    )
+    d_intsT = jax.tree_util.tree_map(
+        lambda a: jnp.zeros(a.shape, jax.dtypes.float0), bwd_ints
+    )
+    # one-hot cotangents are never consumed (static structure) — XLA DCEs
+    return (d_ints, d_intsT, jnp.zeros_like(ohF), jnp.zeros_like(ohT),
+            dx.astype(x_proto.dtype))
+
+
+_core_static.defvjp(_core_static_fwd, _core_static_bwd)
+
+
+class _BakedArrays:
+    """Identity-hashed holder for host-side structure arrays that should be
+    embedded as COMPILE-TIME CONSTANTS.  Measured on-chip: XLA specialises a
+    row-gather whose index vector is a constant — 0.8 ms faster at 1M rows
+    than the same gather with the indices as a runtime argument (4.0 vs
+    4.8 ms full pipeline).  Identity hashing is correct because a baked
+    structure is built once per dataset and reused."""
+
+    def __init__(self, **arrays):
+        self.__dict__.update(arrays)
+
+
+@struct.dataclass
+class BakedStream:
+    """Static-weight stream structure with int arrays baked as constants.
+
+    Only the (large) one-hot arrays remain pytree leaves — they must stay
+    runtime arguments, both to share executables and because embedding
+    hundreds of MB of constants overflows compile RPCs on tunnel-attached
+    backends."""
+
+    oh: jax.Array
+    ohT: jax.Array
+    arrays: _BakedArrays = struct.field(pytree_node=False)
+    meta: StreamMeta = struct.field(pytree_node=False)
+    metaT: StreamMeta = struct.field(pytree_node=False)
+
+
+def bake_stream(ss: StreamCOO) -> BakedStream:
+    """Freeze a static-weight structure for closure-style use: int arrays
+    become np constants (embedded at trace time), one-hots stay inputs."""
+    assert ss.oh is not None and ss.transpose is not None
+    assert ss.transpose.oh is not None
+    tt = ss.transpose
+    arrays = _BakedArrays(
+        slot_sender=np.asarray(ss.slot_sender),
+        sub_wid=np.asarray(ss.sub_wid),
+        macro_rb=np.asarray(ss.macro_rb),
+        macro_first=np.asarray(ss.macro_first),
+        slot_senderT=np.asarray(tt.slot_sender),
+        sub_widT=np.asarray(tt.sub_wid),
+        macro_rbT=np.asarray(tt.macro_rb),
+        macro_firstT=np.asarray(tt.macro_first),
+    )
+    return BakedStream(oh=ss.oh, ohT=tt.oh, arrays=arrays,
+                       meta=ss.meta, metaT=tt.meta)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _core_baked(meta, cdt_name, arrays, ohF, ohT, x):
+    cdt = jnp.dtype(cdt_name)
+    a = arrays
+    g = _take_rows(x, jnp.asarray(a.slot_sender), cdt)
+    return _scatter_call_mat(meta[0], jnp.asarray(a.sub_wid),
+                             jnp.asarray(a.macro_rb),
+                             jnp.asarray(a.macro_first), ohF, g)
+
+
+def _core_baked_fwd(meta, cdt_name, arrays, ohF, ohT, x):
+    out = _core_baked(meta, cdt_name, arrays, ohF, ohT, x)
+    return out, (ohF, ohT, jnp.zeros((0,), x.dtype))
+
+
+def _core_baked_bwd(meta, cdt_name, arrays, res, dy):
+    ohF, ohT, x_proto = res
+    cdt = jnp.dtype(cdt_name)
+    a = arrays
+    dg = _take_rows(dy.astype(jnp.float32), jnp.asarray(a.slot_senderT), cdt)
+    dx = _scatter_call_mat(meta[1], jnp.asarray(a.sub_widT),
+                           jnp.asarray(a.macro_rbT),
+                           jnp.asarray(a.macro_firstT), ohT, dg)
+    return jnp.zeros_like(ohF), jnp.zeros_like(ohT), dx.astype(x_proto.dtype)
+
+
+_core_baked.defvjp(_core_baked_fwd, _core_baked_bwd)
+
+
+def stream_spmm_baked(bs: BakedStream, x):
+    """Static-weight spmm through a baked structure (the fastest path:
+    constant-specialised gather + materialised one-hots)."""
+    assert x.shape[0] == bs.meta.num_senders
+    return _core_baked((bs.meta, bs.metaT), bs.oh.dtype.name, bs.arrays,
+                       bs.oh, bs.ohT, x)
+
+
 _DEFAULT_COMPUTE_DTYPE = [jnp.bfloat16]
 
 
@@ -513,6 +763,17 @@ def stream_spmm(ss: StreamCOO, w_slots=None, x=None, *, wT_slots=None,
     assert x.shape[0] == ss.meta.num_senders, (
         f"x rows {x.shape[0]} != num_senders {ss.meta.num_senders}"
     )
+    if (w_slots is None and ss.oh is not None
+            and ss.transpose.oh is not None
+            and jnp.dtype(compute_dtype) == ss.oh.dtype):
+        # static-weight fast path: materialised one-hots, no per-step VPU
+        # one-hot construction, no dw kernel
+        tt = ss.transpose
+        fwd_ints = (ss.slot_sender, ss.sub_wid, ss.macro_rb, ss.macro_first)
+        bwd_ints = (tt.slot_sender, tt.sub_wid, tt.macro_rb, tt.macro_first)
+        return _core_static((ss.meta, tt.meta),
+                            jnp.dtype(compute_dtype).name,
+                            fwd_ints, bwd_ints, ss.oh, tt.oh, x)
     if w_slots is None:
         assert ss.w_slots is not None, "no weights given or baked in"
         w_slots = ss.w_slots
@@ -551,6 +812,8 @@ def edge_to_slot(ss: StreamCOO, values, fill=0.0):
 
 def choose_stream(senders, receivers, num_nodes: int,
                   feature_dim: int) -> dict:
-    """Default parameter choice (validated by the on-chip sweep,
-    docs/performance.md)."""
-    return dict(tr_w=128, chunk=128, mc=8, wb=8)
+    """Default parameter choice — the on-chip sweep optimum at
+    V=100k/E=1M/F=128 (experiments/stream_variants.py, docs/performance.md):
+    tr_w=64 halves the materialised one-hot bytes streamed per edge slot,
+    chunk=64 bounds window padding, mc=24 keeps the macro grid short."""
+    return dict(tr_w=64, chunk=64, mc=24, wb=16)

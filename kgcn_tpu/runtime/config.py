@@ -63,7 +63,7 @@ def default_config() -> Dict[str, Any]:
         "seed": 1234,
         # --- TPU-build additions (not in reference) ---
         "precision": "float32",  # or "bfloat16" for MXU-friendly compute
-        "spmm_backend": "auto",  # auto | dense | xla | pallas | tiled
+        "spmm_backend": "auto",  # auto | dense | xla | pallas | tiled | stream
         "mesh": None,  # e.g. {"data": 8} for pjit data parallelism
         "label_batch_size": None,  # KG: inner label batching (core.py:219-222)
     }

@@ -99,12 +99,12 @@ def resident_enabled(config, ds: Dataset, info: DatasetInfo, *,
     import importlib
     _spmm = importlib.import_module("kgcn_tpu.ops.spmm")
 
-    if _spmm.get_backend() == "tiled":
-        # the tiled Pallas structure is packed host-side per batch; the
-        # device-resident on-device batch assembly cannot carry it
+    if _spmm.get_backend() in ("tiled", "stream"):
+        # the tiled/stream Pallas structures are packed host-side per batch;
+        # the device-resident on-device batch assembly cannot carry them
         if flag == "force":
-            print("[resident] spmm_backend=tiled needs host batching; "
-                  "streaming batcher")
+            print(f"[resident] spmm_backend={_spmm.get_backend()} needs "
+                  "host batching; streaming batcher")
         return False
     if not supports_resident(ds, allow_index_list=allow_index_list):
         if flag == "force":

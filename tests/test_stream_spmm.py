@@ -158,3 +158,225 @@ def test_pytree_roundtrip_and_jit_arg():
                     x, V)
     np.testing.assert_allclose(np.asarray(f(ss, x)), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_materialized_static_path():
+    """Static-weight fast path: bf16 materialised one-hots (auto) — forward
+    matches XLA to bf16 tolerance and dx flows through the transpose."""
+    rng = np.random.RandomState(7)
+    V, E, F = 80, 320, 16
+    s, r, w = _rand_graph(rng, V, E)
+    x = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
+    ss = build_stream(s, r, V, weights=w, tr_w=16, chunk=8, mc=4, wb=2)
+    assert ss.oh is not None and ss.transpose.oh is not None
+    got = stream_spmm(ss, x=x)          # bf16 default → static path
+    ref = _xla_spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w), x, V)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2 * scale)
+    cot = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
+    dx = jax.grad(lambda x_: jnp.vdot(stream_spmm(ss, x=x_), cot))(x)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    dx_ref = jax.grad(
+        lambda x_: jnp.vdot(_xla_spmm(sj, rj, jnp.asarray(w), x_, V), cot)
+    )(x)
+    scale = float(jnp.max(jnp.abs(dx_ref)))
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=2e-2 * scale)
+    # f32 request falls back to the iota path (exact)
+    got32 = stream_spmm(ss, x=x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_materialize_off():
+    rng = np.random.RandomState(8)
+    V, E = 40, 100
+    s, r, w = _rand_graph(rng, V, E)
+    ss = build_stream(s, r, V, weights=w, tr_w=8, chunk=8, mc=2, wb=2,
+                      materialize=False)
+    assert ss.oh is None
+
+
+def test_baked_stream_matches():
+    rng = np.random.RandomState(9)
+    V, E, F = 72, 300, 16
+    s, r, w = _rand_graph(rng, V, E)
+    x = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
+    from kgcn_tpu.ops.stream_spmm import bake_stream, stream_spmm_baked
+    ss = build_stream(s, r, V, weights=w, tr_w=16, chunk=8, mc=4, wb=2)
+    bs = bake_stream(ss)
+    ref = _xla_spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w), x, V)
+    got = jax.jit(lambda b, x_: stream_spmm_baked(b, x_))(bs, x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2 * scale)
+    cot = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
+    dx = jax.grad(lambda x_: jnp.vdot(stream_spmm_baked(bs, x_), cot))(x)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    dx_ref = jax.grad(
+        lambda x_: jnp.vdot(_xla_spmm(sj, rj, jnp.asarray(w), x_, V), cot)
+    )(x)
+    scale = float(jnp.max(jnp.abs(dx_ref)))
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=2e-2 * scale)
+
+
+@pytest.mark.parametrize("model_name", ["gcn", "gin"])
+def test_stream_backend_end_to_end_matches_xla(model_name):
+    """spmm_backend="stream": the Batcher attaches StreamCOO structures
+    (weights baked), GraphConv/GIN dispatch through them, and a short
+    training run produces the same parameters as the XLA backend
+    (interpret mode; f32 compute dtype → iota path)."""
+    from kgcn_tpu.data import Batcher, build_dataset
+    from kgcn_tpu.data.synthetic import make_random_graphs
+    from kgcn_tpu.graph.batch import set_dense_path
+    from kgcn_tpu.models.registry import build_model
+    import importlib
+    spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
+    from kgcn_tpu.ops import stream_spmm as stream_mod
+    from kgcn_tpu.runtime.config import default_config
+    from kgcn_tpu.runtime.train import Trainer
+
+    cfg = default_config()
+    cfg.update({"task": "classification", "learning_rate": 1e-2})
+    data = make_random_graphs(16, 12, 8, avg_degree=3, seed=0)
+    ds, info = build_dataset(data, cfg)
+
+    def run(backend):
+        set_dense_path(False)
+        spmm_mod.set_backend(backend)
+        stream_mod.set_compute_dtype(jnp.float32)
+        try:
+            b = Batcher(ds, info, 16, seed=0)
+            batch = b.make_batch(np.arange(16))
+            if backend == "stream":
+                assert batch.graph.stream_adj is not None
+                assert batch.graph.stream_adj[0].w_slots is not None
+            else:
+                assert batch.graph.stream_adj is None
+            model = build_model(model_name, info, cfg)
+            trainer = Trainer(model, cfg, info)
+            state = trainer.init_state(batch, seed=0)
+            for _ in range(3):
+                state, _, _ = trainer.train_step(state, batch)
+            return jax.tree_util.tree_leaves(state.params)
+        finally:
+            spmm_mod.set_backend("xla")
+            stream_mod.set_compute_dtype(jnp.bfloat16)
+            set_dense_path(True)
+
+    p_xla = run("xla")
+    p_stream = run("stream")
+    for a, b in zip(p_xla, p_stream):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_stream_backend_kg_link_prediction():
+    """The whole-graph KG engine (the stream kernel's target workload)
+    trains under spmm_backend="stream" with a GCN encoder."""
+    from kgcn_tpu.data import build_dataset
+    from kgcn_tpu.graph.batch import set_dense_path
+    from kgcn_tpu.models.kg import KGBatcher, KGLinkPredictor
+    import importlib
+    spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
+    from kgcn_tpu.ops import stream_spmm as stream_mod
+    from kgcn_tpu.runtime.config import default_config
+    from kgcn_tpu.runtime.train import Trainer
+
+    from kgcn_tpu.data.synthetic import make_kg_dataset
+
+    data = make_kg_dataset(num_entities=30, num_relations=1, seed=0)
+    cfg = default_config()
+    cfg.update({"task": "link_prediction", "epoch": 2, "batch_size": 1,
+                "with_feature": False, "with_node_embedding": True,
+                "embedding_dim": 8, "label_batch_size": 32,
+                "spmm_backend": "stream"})
+    ds, info = build_dataset(data, cfg)
+    set_dense_path(False)
+    spmm_mod.set_backend("stream")
+    stream_mod.set_compute_dtype(jnp.float32)
+    try:
+        kb = KGBatcher(ds, info, seed=0)
+        kb.graph_batch = kb.graph_batch.replace(
+            graph=kb.graph_batch.graph.with_stream(
+                params=dict(tr_w=8, chunk=8, mc=2, wb=2))
+        )
+        assert kb.graph_batch.graph.stream_adj is not None
+        model = KGLinkPredictor(all_node_num=info.all_node_num,
+                                embedding_dim=8,
+                                channels=info.adj_channel_num,
+                                encoder="gcn")
+        trainer = Trainer(model, cfg, info)
+        state = trainer.init_state(kb.init_batch(), seed=0)
+        costs = []
+        for batch in kb.batches():
+            state, cost, _ = trainer.train_step(state, batch)
+            costs.append(float(cost))
+        assert np.isfinite(costs).all()
+    finally:
+        spmm_mod.set_backend("xla")
+        stream_mod.set_compute_dtype(jnp.bfloat16)
+        set_dense_path(True)
+
+
+_ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.mark.skipif(not _ON_TPU, reason=(
+    "production-size on-chip lane: KGCN_TEST_PLATFORM=axon "
+    "pytest tests/test_stream_spmm.py"))
+def test_stream_spmm_production_on_chip():
+    """Production parameters (tr_w=128, chunk=64, mc=24, wb=8) on the real
+    chip: baked static path (materialised bf16 one-hots) within the bf16
+    bound, f32 iota path exact, dx/dw gradients vs XLA at production scale
+    (V=20k, E=200k, F=128)."""
+    from kgcn_tpu.ops.stream_spmm import bake_stream, stream_spmm_baked
+
+    rng = np.random.RandomState(3)
+    V, E, F = 20_000, 200_000, 128
+    s = rng.randint(0, V, E).astype(np.int32)
+    r = rng.randint(0, V, E).astype(np.int32)
+    w = rng.uniform(0.5, 1.5, E).astype(np.float32)
+    x = jnp.asarray(
+        np.random.RandomState(4).standard_normal((V, F)).astype(np.float32))
+    sj, rj, wj = jnp.asarray(s), jnp.asarray(r), jnp.asarray(w)
+
+    ss = build_stream(s, r, V, weights=w)
+    ref = jax.jit(lambda xv: _xla_spmm(sj, rj, wj, xv, V))(x)
+    scale = float(jnp.max(jnp.abs(ref)))
+
+    # f32 iota path: exact
+    got32 = jax.jit(
+        lambda ss_, xv: stream_spmm(ss_, x=xv, compute_dtype=jnp.float32)
+    )(ss, x)
+    assert float(jnp.max(jnp.abs(got32 - ref))) / scale < 1e-5
+
+    # baked bf16 static path: documented accuracy contract
+    bs = bake_stream(ss)
+    got16 = jax.jit(lambda b, xv: stream_spmm_baked(b, xv))(bs, x)
+    assert float(jnp.max(jnp.abs(got16 - ref))) / scale < 5e-2
+
+    # gradient pair on-chip, f32 dynamic path
+    w_slots = jnp.asarray(edge_to_slot(ss, w))
+
+    def loss_s(ws, xv):
+        out = stream_spmm(ss, ws, xv, wT_slots=transpose_w_slots(ss, ws),
+                          compute_dtype=jnp.float32)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_x(wv, xv):
+        out = _xla_spmm(sj, rj, wv, xv, V)
+        return jnp.sum(out * jnp.cos(out))
+
+    gs = jax.jit(jax.grad(loss_s, argnums=(0, 1)))(w_slots, x)
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(wj, x)
+    denom = float(jnp.max(jnp.abs(gx[1]))) or 1.0
+    assert float(jnp.max(jnp.abs(gs[1] - gx[1]))) / denom < 1e-4
+    dw_edge = np.zeros(E, np.float32)
+    src = np.asarray(ss.slot_src)
+    valid = src < E
+    dw_edge[src[valid]] = np.asarray(gs[0])[valid]
+    denom = float(jnp.max(jnp.abs(gx[0]))) or 1.0
+    assert float(np.max(np.abs(dw_edge - np.asarray(gx[0])))) / denom < 1e-4
