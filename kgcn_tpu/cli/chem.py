@@ -49,6 +49,9 @@ def main(argv=None):
                    help="75-dim deepchem featuriser mode")
     p.add_argument("--use-electronegativity", action="store_true",
                    help="append Pauling electronegativity to atom features")
+    p.add_argument("--use-sybyl", action="store_true",
+                   help="SYBYL atom-type one-hot instead of element symbols "
+                        "(reference --use_sybyl, kgcn/preprocessing/chem.py:135)")
     p.add_argument("--use-gasteiger", action="store_true",
                    help="append Gasteiger partial charge to atom features")
     p.add_argument("--pseudo-negative", action="store_true",
@@ -102,6 +105,7 @@ def main(argv=None):
         deepchem_compat=args.deepchem_compat,
         use_electronegativity=args.use_electronegativity,
         use_gasteiger=args.use_gasteiger,
+        use_sybyl=args.use_sybyl,
         with_fingerprint=args.morgan_fingerprint,
         sequences=sequences,
         sequence_symbol_num=symbol_num,

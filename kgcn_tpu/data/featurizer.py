@@ -69,23 +69,136 @@ def one_of_k(x, allowable: Sequence, unk: bool = True) -> List[bool]:
     return [x == s for s in allowable]
 
 
+# SYBYL atom-type vocabulary — the reference's exact list order
+# (kgcn/preprocessing/utils.py:25-28); 'Unknown' is the unk bucket, so types
+# the typer emits that are missing from the list (e.g. 'P.3') land there,
+# reproducing the reference encoder's behaviour bit-for-bit.
+SYBYL_LIST = [
+    "C.ar", "C.cat", "C.1", "C.2", "C.3", "N.ar", "N.am", "N.pl3", "N.1",
+    "N.2", "N.3", "N.4", "O.co2", "O.2", "O.3", "S.O", "S.o2", "S.2", "S.3",
+    "F", "Si", "P", "P3", "Cl", "Br", "Mg", "Na", "Ca", "Fe", "As", "Al",
+    "I", "B", "V", "K", "Tl", "Yb", "Sb", "Sn", "Ag", "Pd", "Co", "Se",
+    "Ti", "Zn", "H", "Li", "Ge", "Cu", "Au", "Ni", "Cd", "In", "Mn", "Zr",
+    "Cr", "Pt", "Hg", "Pb", "Unknown",
+]
+
+_HYB_SUFFIX = {"SP": 1, "SP2": 2, "SP3": 3, "SP3D": 3, "SP3D2": 3}
+
+
+def _neighbor_bonds(atom):
+    """[(other_atom, order)] with order 1/2/3 and 1.5 for aromatic —
+    duck-typed over RDKit atoms and molparse atoms (which store bonds on the
+    molecule with the aromatic sentinel 12)."""
+    if hasattr(atom, "GetBonds"):  # RDKit
+        out = []
+        for b in atom.GetBonds():
+            out.append((b.GetOtherAtom(atom), float(b.GetBondTypeAsDouble())))
+        return out
+    mol, i = atom._mol, atom.idx
+    out = []
+    for a, b, order in mol.bonds:
+        if a == i or b == i:
+            j = b if a == i else a
+            out.append((mol.atoms[j], 1.5 if order == 12 else float(order)))
+    return out
+
+
+def sybyl_atom_type(atom) -> str:
+    """Tripos SYBYL atom type from graph context — functional equivalent of
+    oddt's pure-RDKit ``_sybyl_atom_type`` the reference imports
+    (kgcn/preprocessing/utils.py:4,23), reimplemented over the molecule
+    protocol so it runs RDKit/oddt-free: aromatic carbons → C.ar,
+    guanidinium carbon → C.cat, amide nitrogen → N.am, planar 3-coordinate
+    N → N.pl3, carboxylate/phosphate terminal O → O.co2, sulfoxide → S.O,
+    sulfone → S.o2; everything else ``symbol.hybridisation``."""
+    z = atom.GetAtomicNum()
+    sym = atom.GetSymbol()
+    hyb = _HYB_SUFFIX.get(str(atom.GetHybridization()), 3)
+    nbrs = _neighbor_bonds(atom)
+
+    def dot(suffix):
+        return f"{sym}.{suffix}"
+
+    if z == 6:
+        if atom.GetIsAromatic():
+            return "C.ar"
+        n_nbrs = [a for a, _ in nbrs if a.GetAtomicNum() == 7]
+        if (atom.GetDegree() == 3 and len(n_nbrs) == 3
+                and all(a.GetDegree() <= 3 for a in n_nbrs)):
+            return "C.cat"  # guanidinium-like carbon
+        return dot(hyb)
+    if z == 7:
+        if atom.GetIsAromatic():
+            return "N.ar"
+        for a, order in nbrs:
+            if a.GetAtomicNum() == 6 and order == 1:
+                # amide N: single-bonded to a carbonyl/thiocarbonyl carbon
+                for a2, o2 in _neighbor_bonds(a):
+                    if o2 == 2 and a2.GetAtomicNum() in (8, 16):
+                        return "N.am"
+        if atom.GetDegree() == 4 or atom.GetFormalCharge() > 0:
+            return "N.4"
+        if atom.GetDegree() == 3 and hyb == 2 and all(
+                o == 1 for _, o in nbrs):
+            return "N.pl3"  # planar 3-coordinate (conjugated) N
+        return dot(hyb)
+    if z == 8:
+        # carboxylate / (thio)phosphate terminal oxygen: O with one heavy
+        # neighbour C/P/S that carries another terminal O
+        if atom.GetDegree() == 1 and nbrs:
+            center, _ = nbrs[0]
+            if center.GetAtomicNum() in (6, 15):
+                terminal_o = [
+                    a for a, _ in _neighbor_bonds(center)
+                    if a.GetAtomicNum() == 8 and a.GetDegree() == 1
+                ]
+                if len(terminal_o) >= 2:
+                    return "O.co2"
+        if any(o == 2 for _, o in nbrs) or hyb == 2:
+            return "O.2"
+        return "O.3"
+    if z == 16:
+        term_o = [a for a, o in nbrs
+                  if a.GetAtomicNum() == 8 and o == 2 and a.GetDegree() == 1]
+        if len(term_o) == 1:
+            return "S.O"
+        if len(term_o) >= 2:
+            return "S.o2"
+        if any(o == 2 for _, o in nbrs):
+            return "S.2"
+        return "S.3"
+    if z == 15:
+        return dot(hyb)  # 'P.3' — lands in the Unknown bucket like oddt's
+    if z == 1 or z > 16 or sym in ("F", "Cl", "Br", "I", "B", "Si"):
+        return sym
+    return sym
+
+
 def atom_features(atom, degree_dim: int = DEGREE_DIM, *,
                   use_electronegativity: bool = False,
-                  use_gasteiger: bool = False) -> np.ndarray:
+                  use_gasteiger: bool = False,
+                  use_sybyl: bool = False) -> np.ndarray:
     """Default 81-dim feature vector (kgcn/preprocessing/utils.py:20-56).
 
     Optional scalar extensions match the reference's insertion point — after
     the aromatic flag, before the numH one-hot (utils.py:44-51):
     ``use_electronegativity`` appends the element's Pauling EN;
     ``use_gasteiger`` appends the precomputed ``_GasteigerCharge`` property
-    (NaN/inf → 0, "because the mean is 0").  SYBYL/GAFF atom typing is out of
-    scope — it needs oddt/openbabel even in the reference (utils.py:4,59-61).
+    (NaN/inf → 0, "because the mean is 0").  ``use_sybyl`` replaces the
+    44-symbol one-hot with the 60-type SYBYL one-hot (utils.py:22-28),
+    typed by :func:`sybyl_atom_type` (no oddt needed).  GAFF typing stays
+    out of scope — it needs openbabel's force-field engine even in the
+    reference (utils.py:59-61).
     """
     # compare hybridisation by NAME so RDKit enums ("SP2") and molparse
     # strings interop through the same one-hot
     hyb_names = ["SP", "SP2", "SP3", "SP3D", "SP3D2"]
+    if use_sybyl:
+        type_onehot = one_of_k(sybyl_atom_type(atom), SYBYL_LIST)
+    else:
+        type_onehot = one_of_k(atom.GetSymbol(), ATOM_LIST)
     feats = (
-        one_of_k(atom.GetSymbol(), ATOM_LIST)
+        type_onehot
         + one_of_k(atom.GetDegree(), list(range(degree_dim)), unk=False)
         + one_of_k(atom.GetImplicitValence(), VALENCE_SET)
         + [atom.GetFormalCharge(), atom.GetNumRadicalElectrons()]
@@ -119,7 +232,8 @@ def adjacency_matrix(mol) -> np.ndarray:
 
 def mol_to_graph(mol, atom_num_limit: int, deepchem_compat: bool = False, *,
                  use_electronegativity: bool = False,
-                 use_gasteiger: bool = False):
+                 use_gasteiger: bool = False,
+                 use_sybyl: bool = False):
     """One molecule → (padded feature [N, F], adjacency dense [n, n]) or None
     if it exceeds the atom limit (kgcn/preprocessing/chem.py atom filter)."""
     n = mol.GetNumAtoms()
@@ -136,16 +250,17 @@ def mol_to_graph(mol, atom_num_limit: int, deepchem_compat: bool = False, *,
         ComputeGasteigerCharges(mol)
     feats = np.stack([
         atom_features(a, use_electronegativity=use_electronegativity,
-                      use_gasteiger=use_gasteiger)
+                      use_gasteiger=use_gasteiger, use_sybyl=use_sybyl)
         for a in mol.GetAtoms()
     ])
+    type_dim = len(SYBYL_LIST) if use_sybyl else len(ATOM_LIST)
     if deepchem_compat:
         # 75-dim deepchem mode: degree one-hot truncated to 11, drop
         # charge/radical slots (chem.py:554-558)
         keep = (
-            list(range(44 + 11))
-            + list(range(44 + 17, 44 + 17 + 7))
-            + list(range(44 + 17 + 7 + 2, feats.shape[1]))
+            list(range(type_dim + 11))
+            + list(range(type_dim + 17, type_dim + 17 + 7))
+            + list(range(type_dim + 17 + 7 + 2, feats.shape[1]))
         )
         feats = feats[:, keep]
     padded = np.zeros((atom_num_limit, feats.shape[1]), np.float32)
@@ -208,6 +323,7 @@ def build_chem_dataset(
     deepchem_compat: bool = False,
     use_electronegativity: bool = False,
     use_gasteiger: bool = False,
+    use_sybyl: bool = False,
     with_fingerprint: bool = False,
     sequences: Optional[np.ndarray] = None,
     sequence_symbol_num: Optional[int] = None,
@@ -230,6 +346,7 @@ def build_chem_dataset(
             except Exception:
                 pass
         out = mol_to_graph(mol, atom_num_limit, deepchem_compat,
+                           use_sybyl=use_sybyl,
                            use_electronegativity=use_electronegativity,
                            use_gasteiger=use_gasteiger)
         if out is None:

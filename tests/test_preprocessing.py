@@ -352,3 +352,62 @@ def test_smiles_tokenizer_organic_subset():
     assert smiles_atoms("ClCCBr") == ["Cl", "C", "C", "Br"]
     assert smiles_atoms("[Sn](C)(C)C") == ["Sn", "C", "C", "C"]
     assert smiles_atoms("[nH]1cccc1") == ["N", "C", "C", "C", "C"]
+
+
+def test_sybyl_atom_types():
+    """SYBYL typing (featurizer.sybyl_atom_type — functional equivalent of
+    the oddt typer the reference imports, kgcn/preprocessing/utils.py:22-28)
+    on molecules with known types, via the RDKit-free molparse backend."""
+    from kgcn_tpu.data import featurizer as fz
+    from kgcn_tpu.data.molparse import parse_smiles as mol_from_smiles
+
+    def types(smiles):
+        mol = mol_from_smiles(smiles)
+        return [fz.sybyl_atom_type(a) for a in mol.GetAtoms()]
+
+    assert types("c1ccccc1") == ["C.ar"] * 6                 # benzene
+    assert types("CC") == ["C.3", "C.3"]                     # ethane
+    assert types("C=C") == ["C.2", "C.2"]                    # ethene
+    assert types("C#C") == ["C.1", "C.1"]                    # ethyne
+    assert types("CC(=O)N") == ["C.3", "C.2", "O.2", "N.am"]  # acetamide
+    assert types("CC(=O)[O-]") == ["C.3", "C.2", "O.co2", "O.co2"]
+    assert types("CS(=O)C") == ["C.3", "S.O", "O.2", "C.3"]   # DMSO
+    t = types("CS(=O)(=O)C")                                  # dimethylsulfone
+    assert t[1] == "S.o2" and t.count("O.2") == 2
+    assert types("NC(=[NH2+])N")[1] == "C.cat"                # guanidinium
+    assert types("c1ccncc1")[3] == "N.ar"                     # pyridine N
+    assert types("C[NH3+]")[1] == "N.4"
+
+
+def test_sybyl_feature_vector_and_cli(tmp_path):
+    """--use-sybyl: 97-dim vector (60 SYBYL types + the standard tail),
+    flows through build_chem_dataset and the kgcn-chem CLI."""
+    import subprocess
+    import sys
+
+    import joblib
+
+    from kgcn_tpu.data import featurizer as fz
+    from kgcn_tpu.data.molparse import parse_smiles as mol_from_smiles
+
+    mol = mol_from_smiles("CC(=O)N")
+    f = fz.atom_features(mol.GetAtomWithIdx(0), use_sybyl=True)
+    expected = (len(fz.SYBYL_LIST) + fz.DEGREE_DIM + len(fz.VALENCE_SET)
+                + 2 + 5 + 1 + len(fz.NUM_H_SET))
+    assert f.shape == (expected,)
+    assert f[: len(fz.SYBYL_LIST)].sum() == 1.0
+    assert f[fz.SYBYL_LIST.index("C.3")] == 1.0
+
+    smi = tmp_path / "in.smi"
+    smi.write_text("CC(=O)N\nc1ccccc1\n")
+    lab = tmp_path / "labels.csv"
+    lab.write_text("1\n0\n")
+    out = tmp_path / "ds.jbl"
+    r = subprocess.run(
+        [sys.executable, "-m", "kgcn_tpu.cli.chem", "--smiles", str(smi),
+         "--label", str(lab), "--use-sybyl", "-o", str(out),
+         "--atom-num-limit", "10"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    data = joblib.load(out)
+    assert data["feature"].shape[-1] == expected
