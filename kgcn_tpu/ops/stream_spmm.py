@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -808,6 +808,24 @@ def edge_to_slot(ss: StreamCOO, values, fill=0.0):
     v = np.asarray(values)
     ext = np.concatenate([v, np.full((1,), fill, v.dtype)])
     return ext[np.asarray(ss.slot_src)]
+
+
+def stack_streams(structs: Sequence[StreamCOO]) -> StreamCOO:
+    """Stack per-device structures along a leading device axis (SPMD use:
+    shard the result over the mesh axis, then strip the local axis inside
+    ``shard_map`` with ``local_stream``).  All structures must share one
+    meta — build them with the same parameters and a common
+    ``macro_budget``."""
+    metas = {s.meta for s in structs}
+    assert len(metas) == 1, (
+        f"structures disagree on meta ({metas}); pin macro_budget"
+    )
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *structs)
+
+
+def local_stream(stacked: StreamCOO) -> StreamCOO:
+    """Strip the leading (device-local, size-1) axis inside ``shard_map``."""
+    return jax.tree_util.tree_map(lambda l: l[0], stacked)
 
 
 def choose_stream(senders, receivers, num_nodes: int,

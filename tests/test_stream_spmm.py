@@ -380,3 +380,56 @@ def test_stream_spmm_production_on_chip():
     dw_edge[src[valid]] = np.asarray(gs[0])[valid]
     denom = float(jnp.max(jnp.abs(gx[0]))) or 1.0
     assert float(np.max(np.abs(dw_edge - np.asarray(gx[0])))) / denom < 1e-4
+
+
+def test_stream_shard_map_dp():
+    """Per-device stream structures stacked (stack_streams) and consumed
+    inside shard_map — the SPMD pattern the multichip dryrun exercises."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from kgcn_tpu.ops.stream_spmm import local_stream, stack_streams
+
+    D = min(4, jax.local_device_count())
+    Vl, El, F = 32, 96, 8
+    structs, xs, refs = [], [], []
+    probes = []
+    for d in range(D):
+        rngd = np.random.RandomState(d)
+        sd = rngd.randint(0, Vl, El).astype(np.int32)
+        rd = rngd.randint(0, Vl, El).astype(np.int32)
+        wd = np.ones(El, np.float32)
+        probes.append((sd, rd, wd))
+    budget = 0
+    built = []
+    for sd, rd, wd in probes:
+        ss = build_stream(sd, rd, Vl, weights=wd, tr_w=8, chunk=8, mc=8,
+                          wb=2)
+        budget = max(budget, ss.meta.n_macros, ss.transpose.meta.n_macros)
+        built.append(None)
+    for i, (sd, rd, wd) in enumerate(probes):
+        built[i] = build_stream(sd, rd, Vl, weights=wd, tr_w=8, chunk=8,
+                                mc=8, wb=2, macro_budget=budget)
+        rngd = np.random.RandomState(100 + i)
+        x = rngd.standard_normal((Vl, F)).astype(np.float32)
+        xs.append(x)
+        refs.append(np.asarray(_xla_spmm(jnp.asarray(sd), jnp.asarray(rd),
+                                         jnp.asarray(wd), jnp.asarray(x),
+                                         Vl)))
+    stacked = stack_streams(built)
+    x_all = jnp.asarray(np.stack(xs))
+    mesh = Mesh(np.array(jax.devices()[:D]), ("data",))
+
+    def body(ss_stacked, x_stk):
+        ss_local = local_stream(ss_stacked)
+        out = stream_spmm(ss_local, x=x_stk[0],
+                          compute_dtype=jnp.float32)
+        return out[None]
+
+    out = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    ))(stacked, x_all)
+    for d in range(D):
+        np.testing.assert_allclose(np.asarray(out[d]), refs[d],
+                                   rtol=1e-5, atol=1e-5)
