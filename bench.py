@@ -473,6 +473,74 @@ def bench_kg(V=50_000, E=500_000, dim=128):
     return {"kg_step_triples_per_s": tps}
 
 
+def bench_kg_gcn_stream(V=100_000, E=1_000_000, dim=128, L=1_000_000,
+                        iters=8):
+    """Whole-graph KG engine with a 2-layer GCN encoder (KGLinkPredictor,
+    the reference's sample_kg gcn.py counterpart) — spmm_backend xla vs
+    stream on the same million-edge batch (MEASURED.md shipped-engine win)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from kgcn_tpu.graph.batch import GraphBatch, set_dense_path
+    from kgcn_tpu.models.kg import KGLinkPredictor
+    from kgcn_tpu.runtime.config import default_config
+    from kgcn_tpu.runtime.train import Batch, Trainer
+
+    rng = np.random.RandomState(0)
+    s = rng.randint(0, V, E).astype(np.int32)
+    r = rng.randint(0, V, E).astype(np.int32)
+    g = GraphBatch(
+        senders=jnp.asarray(s[None]),
+        receivers=jnp.asarray(r[None]),
+        edge_weights=jnp.ones((1, E), jnp.float32),
+        n_edge=jnp.asarray([E], jnp.int32),
+        n_node=jnp.asarray([V], jnp.int32),
+        node_mask=jnp.ones((V,), jnp.float32),
+        node_ids=jnp.arange(V, dtype=jnp.int32),
+        n_graph=1,
+        max_nodes=V,
+    )
+    ll = np.zeros((L, 6), np.int32)
+    ll[:, 0] = rng.randint(0, V, L)
+    ll[:, 2] = rng.randint(0, V, L)
+    ll[:, 3] = ll[:, 0]
+    ll[:, 5] = rng.randint(0, V, L)
+    ll = jnp.asarray(ll[None])
+    cfg = default_config()
+    cfg.update({"task": "link_prediction", "learning_rate": 0.01})
+    spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
+    set_dense_path(False)
+    model = KGLinkPredictor(all_node_num=V, embedding_dim=dim, channels=1,
+                            encoder="gcn")
+    out = {}
+    try:
+        for backend in ("xla", "stream"):
+            spmm_mod.set_backend(backend)
+            gg = g.with_stream() if backend == "stream" else g
+            batch = Batch(graph=gg, label_list=ll)
+            trainer = Trainer(model, cfg, None)
+            state = trainer.init_state(batch, seed=0)
+            state, c, _ = trainer.train_step(state, batch)
+            state, c, _ = trainer.train_step(state, batch)
+            jax.block_until_ready(c)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, c, _ = trainer.train_step(state, batch)
+            jax.block_until_ready(c)
+            dt = (time.perf_counter() - t0) / iters
+            out[f"kg_gcn_step_triples_per_s_{backend}"] = L / dt
+    finally:
+        spmm_mod.set_backend("xla")
+        set_dense_path(True)
+    out["kg_gcn_stream_vs_xla"] = (
+        out["kg_gcn_step_triples_per_s_stream"]
+        / out["kg_gcn_step_triples_per_s_xla"]
+    )
+    return out
+
+
 def main():
     # persistent compilation cache: the remote compile service on this
     # environment takes minutes per large graph — cache hits make repeat
@@ -501,6 +569,7 @@ def main():
     train.update(bench_resident_epoch())
     train.update(bench_gat())
     train.update(bench_kg())
+    train.update(bench_kg_gcn_stream())
     best = max(
         agg["dense_mxu_edges_per_s"],
         agg["dense_mxu_bf16_edges_per_s"],
