@@ -17,6 +17,7 @@ readback, pure device time.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -224,12 +225,16 @@ def bench_stream_spmm(F=128, iters=30, seed=0):
     return out
 
 
-def bench_sparse_engine_tiled(B=16, N=512, F=81, avg_degree=8, iters=20,
-                              seed=0):
-    """The shipped sparse reaction engine (models/sparse.SparseGCN) at a
-    beyond-dense-threshold node count (N=512 > 256): full train step through
-    the ``tiled`` Pallas backend vs the XLA segment-sum path — the
-    integration target of VERDICT r2 #1 (reference op: kgcn/bspmm_call.py).
+def bench_sparse_engine_tiled(B=16, N=256, F=81, avg_degree=8, iters=20,
+                              seed=0, num_classes=20014):
+    """The shipped sparse reaction engine (models/sparse.SparseGCN) at the
+    reference's production scale — 20,014 reaction classes
+    (/root/reference/example_config/sparse.json) with N=256 (the reference's
+    203-atom molecules padded up): full train step through the ``tiled``
+    Pallas backend vs the XLA segment-sum path (reference op:
+    kgcn/bspmm_call.py).  The 20k softmax head is what made the reference
+    pin its readout to CPU (example_model/sparse.py:83-93); here it rides
+    the MXU with everything else.
     """
     import importlib
 
@@ -247,8 +252,8 @@ def bench_sparse_engine_tiled(B=16, N=512, F=81, avg_degree=8, iters=20,
     spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
     cfg = default_config()
     cfg.update({"task": "classification", "learning_rate": 1e-3})
-    # label values stay binary; the 1000-class head still exercises the
-    # reaction-scale softmax shape
+    # label values stay binary; the 20,014-class head still exercises the
+    # full reaction-scale softmax + readout cost
     data = make_random_graphs(B, N, F, avg_degree=avg_degree, seed=seed)
     ds, info = build_dataset(data, cfg)
     out = {}
@@ -263,7 +268,7 @@ def bench_sparse_engine_tiled(B=16, N=512, F=81, avg_degree=8, iters=20,
             if n_edges is None:
                 n_edges = int(np.asarray(batch.graph.n_edge)[0])
             model = SparseGCN(channels=info.adj_channel_num,
-                              num_classes=1000)
+                              num_classes=num_classes)
             trainer = Trainer(model, cfg, info)
             state = trainer.init_state(batch, seed=0)
             tx = trainer.tx
@@ -541,7 +546,31 @@ def bench_kg_gcn_stream(V=100_000, E=1_000_000, dim=128, L=1_000_000,
     return out
 
 
+def _bench_train_bf16():
+    r = bench_train(precision="bfloat16")
+    return {
+        "train_step_s_bf16": r["train_step_s"],
+        "train_graphs_per_s_bf16": r["train_graphs_per_s"],
+    }
+
+
 def main():
+    """Run every section, RE-PRINTING the full JSON line after each one.
+
+    The driver records the LAST complete JSON line on stdout, so a timeout
+    truncates detail instead of erasing the whole record (round-3 lesson:
+    one cold compile cache ⇒ rc=124 ⇒ zero evidence).  Three guards:
+
+    * the headline sections (aggregation + train) run FIRST and print
+      immediately — a record exists within a couple of minutes;
+    * each heavy Pallas/engine section is skipped with a
+      ``<name>_skipped_for_budget`` marker once elapsed wall-clock exceeds
+      ``KGCN_BENCH_BUDGET_S`` (default 1200 s) — compile time on the
+      remote service is minutes per large program when the persistent
+      cache is cold;
+    * every section runs under try/except so one Mosaic/compile failure
+      degrades to a ``<name>_error`` key instead of zeroing the run.
+    """
     # persistent compilation cache: the remote compile service on this
     # environment takes minutes per large graph — cache hits make repeat
     # bench runs start in seconds
@@ -553,40 +582,65 @@ def main():
     import jax.numpy as jnp
 
     jax.device_get(jnp.zeros(()))
-    agg = bench_aggregation()
-    agg.update(bench_tiled_spmm())
-    agg.update(bench_sparse_engine_tiled())
-    agg.update(bench_stream_spmm())
-    if agg.get("ell_xla_uniform_edges_per_s"):
-        agg["stream_vs_ell_uniform"] = (
-            agg["stream_spmm_uniform_edges_per_s"]
-            / agg["ell_xla_uniform_edges_per_s"]
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("KGCN_BENCH_BUDGET_S", "1200"))
+    extra: dict = {}
+
+    def emit():
+        """(Re)print the record from everything measured so far."""
+        if "dense_mxu_edges_per_s" not in extra:
+            return
+        if (extra.get("ell_xla_uniform_edges_per_s")
+                and extra.get("stream_spmm_uniform_edges_per_s")):
+            extra["stream_vs_ell_uniform"] = (
+                extra["stream_spmm_uniform_edges_per_s"]
+                / extra["ell_xla_uniform_edges_per_s"]
+            )
+        best = max(
+            extra["dense_mxu_edges_per_s"],
+            extra["dense_mxu_bf16_edges_per_s"],
+            extra["ell_gather_edges_per_s"],
+            extra["coo_segment_sum_edges_per_s"],
         )
-    train = bench_train()
-    train_bf16 = bench_train(precision="bfloat16")
-    train["train_step_s_bf16"] = train_bf16["train_step_s"]
-    train["train_graphs_per_s_bf16"] = train_bf16["train_graphs_per_s"]
-    train.update(bench_resident_epoch())
-    train.update(bench_gat())
-    train.update(bench_kg())
-    train.update(bench_kg_gcn_stream())
-    best = max(
-        agg["dense_mxu_edges_per_s"],
-        agg["dense_mxu_bf16_edges_per_s"],
-        agg["ell_gather_edges_per_s"],
-        agg["coo_segment_sum_edges_per_s"],
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "spmm_edges_per_s_chip",
-                "value": best,
-                "unit": "edges/s",
-                "vs_baseline": best / agg["coo_segment_sum_edges_per_s"],
-                "extra": {**agg, **train},
-            }
+        extra["bench_elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        print(
+            json.dumps(
+                {
+                    "metric": "spmm_edges_per_s_chip",
+                    "value": best,
+                    "unit": "edges/s",
+                    "vs_baseline": best / extra["coo_segment_sum_edges_per_s"],
+                    "extra": dict(extra),
+                }
+            ),
+            flush=True,
         )
-    )
+
+    # (name, fn, heavy): heavy sections honour the wall-clock budget;
+    # the first two are the headline and always run.
+    sections = [
+        ("aggregation", bench_aggregation, False),
+        ("train", bench_train, False),
+        ("train_bf16", _bench_train_bf16, False),
+        ("resident", bench_resident_epoch, False),
+        ("gat", bench_gat, False),
+        ("kg", bench_kg, False),
+        ("stream_spmm", bench_stream_spmm, True),
+        ("tiled_spmm", bench_tiled_spmm, True),
+        ("kg_gcn_stream", bench_kg_gcn_stream, True),
+        ("sparse_engine", bench_sparse_engine_tiled, True),
+    ]
+    for name, fn, heavy in sections:
+        elapsed = time.perf_counter() - t_start
+        if heavy and elapsed > budget:
+            extra[f"{name}_skipped_for_budget"] = round(elapsed, 1)
+            emit()
+            continue
+        try:
+            extra.update(fn())
+        except Exception as e:  # noqa: BLE001 — one failure must not zero the run
+            extra[f"{name}_error"] = repr(e)[:300]
+        emit()
 
 
 if __name__ == "__main__":

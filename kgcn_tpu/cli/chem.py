@@ -98,6 +98,16 @@ def main(argv=None):
         )
         symbol_num = len(fz.AMINO_ACIDS) + 2
 
+    if args.deepchem_compat and (args.use_sybyl or args.use_electronegativity
+                                 or args.use_gasteiger):
+        # the reference forces use_sybyl/EN/gasteiger off in deepchem mode
+        # (reference chem.py:554-558); match it rather than emit hybrid
+        # feature vectors the reference cannot produce
+        print("[WARN] --deepchem-compat ignores --use-sybyl/"
+              "--use-electronegativity/--use-gasteiger (reference "
+              "chem.py:554-558)")
+        args.use_sybyl = args.use_electronegativity = args.use_gasteiger = False
+
     data = fz.build_chem_dataset(
         mols,
         labels=labels,

@@ -72,7 +72,9 @@ def one_of_k(x, allowable: Sequence, unk: bool = True) -> List[bool]:
 # SYBYL atom-type vocabulary — the reference's exact list order
 # (kgcn/preprocessing/utils.py:25-28); 'Unknown' is the unk bucket, so types
 # the typer emits that are missing from the list (e.g. 'P.3') land there,
-# reproducing the reference encoder's behaviour bit-for-bit.
+# matching the reference encoder's bucketing.  The typer itself is a
+# functional equivalent of oddt's _sybyl_atom_type (graph-context rules, not
+# a bit-for-bit reimplementation — see PARITY.md).
 SYBYL_LIST = [
     "C.ar", "C.cat", "C.1", "C.2", "C.3", "N.ar", "N.am", "N.pl3", "N.1",
     "N.2", "N.3", "N.4", "O.co2", "O.2", "O.3", "S.O", "S.o2", "S.2", "S.3",
@@ -136,7 +138,9 @@ def sybyl_atom_type(atom) -> str:
                 for a2, o2 in _neighbor_bonds(a):
                     if o2 == 2 and a2.GetAtomicNum() in (8, 16):
                         return "N.am"
-        if atom.GetDegree() == 4 or atom.GetFormalCharge() > 0:
+        if atom.GetDegree() == 4 or (hyb == 3 and atom.GetFormalCharge() > 0):
+            # oddt gates N.4 on degree-4 OR (sp3 AND positive charge); an
+            # sp2 N+ (nitro, iminium) must NOT land here
             return "N.4"
         if atom.GetDegree() == 3 and hyb == 2 and all(
                 o == 1 for _, o in nbrs):

@@ -108,9 +108,10 @@ class GraphConv(nn.Module):
         hw = jnp.einsum("vf,cfo->cvo", x, w) + b[:, None, :]
         if graph.stream_adj is not None:
             # streaming scatter kernel (spmm_backend: "stream") — static
-            # adjacency weights are baked into the structures
+            # adjacency weights are baked into the structures, so pass
+            # weights=None to opt into the baked fast path
             return spmm_multichannel(
-                graph.senders, graph.receivers, graph.edge_weights, hw,
+                graph.senders, graph.receivers, None, hw,
                 graph.total_nodes, backend="stream", stream=graph.stream_adj,
             )
         if graph.tiled_adj is not None:
@@ -143,8 +144,9 @@ class GINAggregate(nn.Module):
             xb = x.reshape(graph.n_graph, graph.max_nodes, -1)
             agg = spmm_dense(graph.dense_adj, xb).reshape(x.shape)
         elif graph.stream_adj is not None:
+            # weights=None: opt into the baked static-weight fast path
             agg = spmm_multichannel(
-                graph.senders, graph.receivers, graph.edge_weights, x,
+                graph.senders, graph.receivers, None, x,
                 graph.total_nodes, backend="stream", stream=graph.stream_adj,
             )
         elif graph.tiled_adj is not None:

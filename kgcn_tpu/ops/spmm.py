@@ -79,8 +79,13 @@ def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = N
     if backend == "stream" and stream is not None:
         from kgcn_tpu.ops.stream_spmm import stream_spmm, stream_spmm_edges
 
-        if stream.w_slots is not None:
+        if stream.w_slots is not None and weights is None:
+            # baked static-weight fast path: caller opted in by passing
+            # weights=None (layers do this when the GraphBatch carries a
+            # stream structure baked from its own edge weights)
             return stream_spmm(stream, x=x).astype(x.dtype)
+        # runtime (possibly learned/per-step) weights: always honour them —
+        # a baked structure must never shadow dynamic weights silently
         return stream_spmm_edges(stream, weights, x).astype(x.dtype)
     if backend == "tiled" and tiled is not None:
         from kgcn_tpu.ops.tiled_spmm import tiled_spmm
@@ -113,7 +118,8 @@ def spmm_multichannel(
         out = None
         for c in range(C):  # C is small and static
             xc = x[c] if x.ndim == 3 else x
-            o = spmm(senders[c], receivers[c], weights[c], xc, num_nodes,
+            wc = None if weights is None else weights[c]
+            o = spmm(senders[c], receivers[c], wc, xc, num_nodes,
                      backend="stream", stream=stream[c])
             out = o if out is None else out + o
         return out.astype(x.dtype)

@@ -212,6 +212,13 @@ def build_stream(senders, receivers, num_nodes: int, *,
     (Mosaic block-shape constraint; interpret mode accepts any size).
     """
     assert tr_w % 8 == 0 and chunk % 8 == 0, "sublane alignment"
+    if not _interpret():
+        # compiled TPU mode also needs mc % 8 (Mosaic block-shape
+        # constraint); catching it here instead of at lowering time —
+        # interpret mode (CPU tests) accepts any mc
+        assert mc % 8 == 0, (
+            f"mc={mc} must be a multiple of 8 for compiled TPU mode"
+        )
     s = np.asarray(senders).astype(np.int64)
     r = np.asarray(receivers).astype(np.int64)
     num_edges = len(s)

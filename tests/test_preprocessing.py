@@ -377,6 +377,9 @@ def test_sybyl_atom_types():
     assert types("NC(=[NH2+])N")[1] == "C.cat"                # guanidinium
     assert types("c1ccncc1")[3] == "N.ar"                     # pyridine N
     assert types("C[NH3+]")[1] == "N.4"
+    # sp2 N+ must NOT be N.4 (oddt gates N.4 on degree-4 or sp3+charge)
+    assert types("C[N+](=O)[O-]")[1] == "N.2"                 # nitromethane
+    assert types("CC=[NH+]C")[2] == "N.2"                     # iminium N
 
 
 def test_sybyl_feature_vector_and_cli(tmp_path):
