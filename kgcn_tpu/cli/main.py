@@ -80,6 +80,12 @@ def _prepare(config, test_mode=False, dataset_key="dataset"):
             with open(param) as f:
                 param = json.load(f)
         info.param = param
+    # spmm_backend "auto": now that the dataset's shape is known, pick the
+    # execution path (dense MXU / tiled / stream / xla) — explicit names
+    # were already applied at startup and pass through unchanged
+    from kgcn_tpu.runtime.backend import resolve_and_apply
+
+    resolve_and_apply(config, info)
     return ds, info
 
 
@@ -424,16 +430,28 @@ def cmd_train_cv(config) -> Dict[str, Any]:
         strat = np.argmax(ds.labels, axis=1)
     folds = kfold_indices(ds.num, k, seed=int(config.get("seed", 0)), stratify=strat)
 
+    # fold-parallel path: all folds trained concurrently, one per mesh
+    # device (parallel/cv.py; config fold_parallel: auto|true|false) —
+    # the per-fold evaluation below is shared with the sequential path
+    from kgcn_tpu.parallel.cv import fold_parallel_enabled, run_fold_parallel_cv
+
+    parallel = None
+    if fold_parallel_enabled(config, ds, info, k):
+        parallel = run_fold_parallel_cv(config, info, ds, folds)
+
     fold_results = []
     metric_name = _metric_name(config.get("task", ""))
     for fold, (train_idx, test_idx) in enumerate(folds):
         print(f"[fold {fold}] train={len(train_idx)} test={len(test_idx)}")
         train_ds = ds.subset(train_idx)
         test_ds = ds.subset(test_idx)
-        trainer, state, fit_info, _ = _fit_once(
-            config, train_ds, test_ds, info, fold=fold,
-            seed=int(config.get("seed", 0)) + fold,
-        )
+        if parallel is not None:
+            trainer, state, fit_info = parallel[fold]
+        else:
+            trainer, state, fit_info, _ = _fit_once(
+                config, train_ds, test_ds, info, fold=fold,
+                seed=int(config.get("seed", 0)) + fold,
+            )
         from kgcn_tpu.data import Batcher
 
         test_b = Batcher(test_ds, info, int(config["batch_size"]))
@@ -666,24 +684,12 @@ def main(argv=None):
     if config.get("debug_nan"):
         jax.config.update("jax_debug_nans", True)
     backend = str(config.get("spmm_backend", "auto"))
-    if backend in ("xla", "pallas", "tiled", "stream"):
-        from kgcn_tpu.graph.batch import set_dense_path
-        import importlib
-        spmm_mod = importlib.import_module("kgcn_tpu.ops.spmm")
+    if backend != "auto":
+        from kgcn_tpu.runtime.backend import apply_backend
 
-        set_dense_path(False)
-        spmm_mod.set_backend(backend)
-        if backend in ("tiled", "stream"):
-            from kgcn_tpu.ops import stream_spmm as stream_mod
-            from kgcn_tpu.ops import tiled_spmm as tiled_mod
-
-            dt = config.get("tiled_compute_dtype", "bfloat16")
-            tiled_mod.set_compute_dtype(dt)
-            stream_mod.set_compute_dtype(dt)
-    elif backend == "dense":
-        from kgcn_tpu.graph.batch import set_dense_path
-
-        set_dense_path(True)
+        apply_backend(backend, config)
+    # "auto" resolves once the dataset's shape is known (_prepare →
+    # runtime/backend.resolve_and_apply)
     precision = str(config.get("precision", "float32"))
     if precision in ("bfloat16", "default"):
         jax.config.update("jax_default_matmul_precision", "default")

@@ -22,7 +22,12 @@ def _load(config, test=False):
     paths = sorted(globmod.glob(pattern))
     if not paths:
         raise FileNotFoundError(f"no tfrecords match {pattern}")
-    return load_tfrecord_dataset(paths, config)
+    ds, info = load_tfrecord_dataset(paths, config)
+    # spmm_backend "auto" → dense/tiled/stream/xla from the dataset shape
+    from kgcn_tpu.runtime.backend import resolve_and_apply
+
+    resolve_and_apply(config, info)
+    return ds, info
 
 
 def _model(config, info):

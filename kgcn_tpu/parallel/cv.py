@@ -1,0 +1,307 @@
+"""Fold-parallel cross-validation: one CV fold per mesh device.
+
+The reference's ONLY fold parallelism is shell-level per-fold processes
+(/root/reference/sample_chem/compound-protein_interaction/run.sh:9-14,
+/root/reference/script_cv/02run_fold.sh) — on a multi-chip system that
+leaves every other chip idle for the whole CV protocol.  SURVEY §2.11 names
+"embarrassingly-parallel CV folds mapped to pod slices" as the cheap win to
+keep; this module is that win as ONE SPMD program:
+
+* the full dataset is device-resident and **replicated** (CV datasets are
+  small by construction — they must fit k-fold resampling);
+* per-fold train states and per-epoch schedules are stacked on a leading
+  ``fold`` axis **sharded** over a ``fold`` mesh axis;
+* each epoch is one jit dispatch: ``vmap`` of the scanned train step over
+  the fold axis — under GSPMD every device executes exactly its own fold's
+  scan, so k folds cost the wall-clock of one (plus the replicated upload);
+* per-epoch validation on each fold's held-out split rides the same
+  dispatch pattern (vmapped eval scan).
+
+Early stopping is inherently per-fold control flow, so the auto gate
+declines when ``patience`` is set (sequential fallback keeps full parity).
+More folds than devices run in groups of ``len(devices)``.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from kgcn_tpu.runtime.metrics import aggregate_metrics
+
+
+def fold_parallel_flag(config) -> str:
+    flag = config.get("fold_parallel", "auto")
+    if flag in (False, "false", "off", 0, "0"):
+        return "off"
+    if flag in (True, "true", "force", 1, "1"):
+        return "force"
+    return "auto"
+
+
+def fold_parallel_enabled(config, ds, info, n_folds: int) -> bool:
+    """Gate: explicit off wins; auto requires >1 device, a resident-capable
+    dataset, no DP mesh config, and no early stopping."""
+    flag = fold_parallel_flag(config)
+    if flag == "off":
+        return False
+    from kgcn_tpu.runtime.resident import resident_enabled
+
+    if not resident_enabled(config, ds, info):
+        if flag == "force":
+            print("[fold_parallel] dataset not device-resident; sequential")
+        return False
+    if flag == "force":
+        return True
+    return (
+        len(jax.devices()) > 1
+        and n_folds > 1
+        and not config.get("mesh")
+        and not int(config.get("patience", 0) or 0)
+    )
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _unstack(tree, i):
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+class FoldParallelCV:
+    """Train every fold of a k-fold split concurrently over the devices.
+
+    ``run()`` returns, per fold, ``(trainer, state, fit_info)`` with the same
+    ``fit_info`` schema as ``Trainer.fit`` (history rows, training_time) so
+    ``cmd_train_cv`` consumes either path identically.
+    """
+
+    def __init__(self, config: Dict[str, Any], info, ds, folds,
+                 *, seed: Optional[int] = None):
+        from kgcn_tpu.models.registry import build_model
+        from kgcn_tpu.runtime.resident import build_device_dataset
+        from kgcn_tpu.runtime.train import Trainer
+
+        self.config = config
+        self.info = info
+        self.ds = ds
+        self.folds = list(folds)
+        self.k = len(self.folds)
+        self.B = int(config["batch_size"])
+        self.seed = int(config.get("seed", 0)) if seed is None else int(seed)
+        self.epochs = int(config.get("epoch", 50))
+        self.task = config.get("task", "multitask_classification")
+
+        self.model = build_model(config["model.py"], info, config)
+        self.trainer = Trainer(self.model, config, info)
+        self.dd = build_device_dataset(ds, info)
+
+        devs = jax.devices()
+        self.D = min(self.k, len(devs))
+        self.mesh = Mesh(np.asarray(devs[: self.D]), ("fold",))
+        self._sh_fold = NamedSharding(self.mesh, P("fold"))
+        self._sh_rep = NamedSharding(self.mesh, P())
+        self._epoch_fn = None
+        self._eval_fn = None
+
+    # --- schedules ------------------------------------------------------
+    def _schedule(self, idx_list: List[np.ndarray], rngs, shuffle: bool):
+        """[D, S, B] stacked schedules; folds with fewer steps pad with
+        valid=0 rows (identical law to ResidentBatcher.epoch_schedule)."""
+        B = self.B
+        S = max((len(ix) + B - 1) // B for ix in idx_list)
+        sched = np.zeros((len(idx_list), S, B), np.int32)
+        valid = np.zeros((len(idx_list), S, B), np.float32)
+        for f, ix in enumerate(idx_list):
+            perm = rngs[f].permutation(ix) if shuffle else np.asarray(ix)
+            n = len(perm)
+            flat = np.zeros(S * B, np.int32)
+            flat[:n] = perm
+            sched[f] = flat.reshape(S, B)
+            valid[f] = (np.arange(S * B) < n).astype(np.float32).reshape(S, B)
+        return jnp.asarray(sched), jnp.asarray(valid)
+
+    # --- compiled bodies ------------------------------------------------
+    def _make_epoch_fn(self):
+        from kgcn_tpu.runtime.resident import gather_batch
+
+        model, tx, trainer = self.model, self.trainer.tx, self.trainer
+
+        def loss_fn(params, batch_stats, batch, rng):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch,
+                train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
+
+        def one_fold(state, dd, sched, valid):
+            def body(st, sv):
+                idxb, vb = sv
+                batch = trainer._cast(gather_batch(dd, idxb, vb))
+                rng, sub = jax.random.split(st.rng)
+                grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                    st.params, st.batch_stats, batch, sub
+                )
+                updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                st = st.replace(
+                    params=optax.apply_updates(st.params, updates),
+                    batch_stats=new_stats, opt_state=new_opt,
+                    step=st.step + 1, rng=rng,
+                )
+                return st, (out.cost_sum, out.metrics)
+
+            state, (costs, metrics) = jax.lax.scan(body, state, (sched, valid))
+            # sum over the step axis ON DEVICE — one scalar tree per epoch
+            msum = jax.tree_util.tree_map(lambda m: jnp.sum(m, axis=0), metrics)
+            return state, jnp.sum(costs), msum
+
+        def epoch_all(states, dd, sched, valid):
+            return jax.vmap(one_fold, in_axes=(0, None, 0, 0))(
+                states, dd, sched, valid
+            )
+
+        return jax.jit(
+            epoch_all,
+            in_shardings=(self._sh_fold, self._sh_rep, self._sh_fold,
+                          self._sh_fold),
+            donate_argnums=(0,),
+        )
+
+    def _make_eval_fn(self, with_prediction: bool):
+        from kgcn_tpu.runtime.resident import gather_batch
+
+        model, trainer = self.model, self.trainer
+
+        def one_fold(params, batch_stats, dd, sched, valid):
+            def body(_, sv):
+                idxb, vb = sv
+                batch = trainer._cast(gather_batch(dd, idxb, vb))
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, batch,
+                    train=False,
+                )
+                pred = out.prediction if with_prediction else 0
+                return None, (pred, out.cost_sum, out.metrics)
+
+            _, (preds, costs, metrics) = jax.lax.scan(
+                body, None, (sched, valid)
+            )
+            msum = jax.tree_util.tree_map(lambda m: jnp.sum(m, axis=0), metrics)
+            return preds, jnp.sum(costs), msum
+
+        def eval_all(states, dd, sched, valid):
+            return jax.vmap(one_fold, in_axes=(0, 0, None, 0, 0))(
+                states.params, states.batch_stats, dd, sched, valid
+            )
+
+        return jax.jit(
+            eval_all,
+            in_shardings=(self._sh_fold, self._sh_rep, self._sh_fold,
+                          self._sh_fold),
+        )
+
+    # --- driver ---------------------------------------------------------
+    def _init_states(self, fold_ids):
+        from kgcn_tpu.runtime.resident import ResidentBatcher
+
+        rb = ResidentBatcher(self.ds, self.info, self.B)
+        sample = rb.make_batch(np.arange(min(self.B, self.ds.num)))
+        return [
+            self.trainer.init_state(sample, seed=self.seed + f)
+            for f in fold_ids
+        ]
+
+    def run(self, log=print) -> List[Tuple[Any, Any, Dict[str, Any]]]:
+        import kgcn_tpu.runtime.checkpoint as ckpt
+
+        results: List[Optional[Tuple[Any, Any, Dict[str, Any]]]] = (
+            [None] * self.k
+        )
+        model_dir = self.config.get("save_model_path") or "model"
+        shuffle = bool(self.config.get("shuffle_data", True))
+        for g0 in range(0, self.k, self.D):
+            group = list(range(g0, min(g0 + self.D, self.k)))
+            real = len(group)
+            # pad the group to the mesh size by repeating the last fold
+            # (its duplicate results are dropped)
+            fold_ids = group + [group[-1]] * (self.D - real)
+            train_idx = [self.folds[f][0] for f in fold_ids]
+            test_idx = [self.folds[f][1] for f in fold_ids]
+            rngs = [np.random.RandomState(self.seed + f) for f in fold_ids]
+            states = _stack(self._init_states(fold_ids))
+            if self._epoch_fn is None:
+                self._epoch_fn = self._make_epoch_fn()
+                self._eval_fn = self._make_eval_fn(False)
+            v_sched, v_valid = self._schedule(test_idx, rngs, shuffle=False)
+            histories: List[List[Dict[str, Any]]] = [[] for _ in fold_ids]
+            t0 = time.time()
+            for epoch in range(self.epochs):
+                sched, valid = self._schedule(train_idx, rngs, shuffle)
+                states, costs, msum = self._epoch_fn(
+                    states, self.dd, sched, valid
+                )
+                _, v_costs, v_msum = self._eval_fn(
+                    states, self.dd, v_sched, v_valid
+                )
+                costs, msum, v_costs, v_msum = jax.device_get(
+                    (costs, msum, v_costs, v_msum)
+                )
+                for j, f in enumerate(fold_ids[:real]):
+                    n_tr, n_va = len(train_idx[j]), len(test_idx[j])
+                    row = {
+                        "epoch": epoch,
+                        "training_cost": float(costs[j]) / max(n_tr, 1),
+                        "validation_cost": float(v_costs[j]) / max(n_va, 1),
+                    }
+                    agg = aggregate_metrics(
+                        [_unstack(msum, j)], n_tr, self.task, "training_"
+                    )
+                    v_agg = aggregate_metrics(
+                        [_unstack(v_msum, j)], n_va, self.task, "validation_"
+                    )
+                    for a in (agg, v_agg):
+                        if a:
+                            row.update({
+                                k: float(np.asarray(v))
+                                for k, v in a.items()
+                                if np.asarray(v).ndim == 0
+                            })
+                    histories[j].append(row)
+                head = histories[0][-1]
+                log(
+                    f"epoch {epoch}, folds {group[0]}-{group[-1]} "
+                    f"training cost {head['training_cost']:.6g}, "
+                    f"validation cost {head['validation_cost']:.6g}"
+                )
+            wall = time.time() - t0
+            for j, f in enumerate(group):
+                st = _unstack(states, j)
+                st = jax.device_get(st)
+                st = jax.tree_util.tree_map(jnp.asarray, st)
+                ckpt.save_checkpoint(
+                    ckpt.ckpt_name(model_dir, "last", f),
+                    self.trainer.state_tree(st, self.epochs - 1, np.inf),
+                )
+                results[f] = (self.trainer, st, {
+                    "history": histories[j],
+                    "best_epoch": -1,
+                    "best_validation_cost": None,
+                    "training_time": wall,
+                    "fold_parallel": self.D,
+                })
+        return results  # type: ignore[return-value]
+
+
+def run_fold_parallel_cv(config, info, ds, folds, log=print):
+    """Convenience wrapper used by ``cmd_train_cv``."""
+    cv = FoldParallelCV(config, info, ds, folds)
+    log(f"[fold_parallel] {cv.k} folds over {cv.D} devices "
+        f"({-(-cv.k // cv.D)} group(s))")
+    return cv.run(log=log)

@@ -80,5 +80,8 @@ def load_config(path: Optional[str] = None, overrides: Optional[Dict] = None):
 
 
 def save_config(cfg: Dict[str, Any], path: str) -> None:
+    # underscore keys are per-process resolution state (e.g. the pinned
+    # spmm backend), not user configuration
+    public = {k: v for k, v in cfg.items() if not k.startswith("_")}
     with open(path, "w") as f:
-        json.dump(cfg, f, indent=2, default=str)
+        json.dump(public, f, indent=2, default=str)
