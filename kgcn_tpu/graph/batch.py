@@ -190,7 +190,8 @@ class GraphBatch:
 
     def with_tiled(self, *, tiling: Optional[tuple] = None,
                    chunk_budget: Optional[int] = None,
-                   feature_dim: int = 128) -> "GraphBatch":
+                   feature_dim: int = 128,
+                   locality: "bool | str" = "auto") -> "GraphBatch":
         """Return a copy carrying per-channel tiled edge structures for the
         Pallas one-hot MXU SpMM kernel (``spmm_backend: "tiled"``).
 
@@ -199,6 +200,12 @@ class GraphBatch:
         chunk); default picks per-channel via ``choose_tiling``.
         ``chunk_budget``: pad the chunk list to a fixed length so streaming
         batches of varying topology share one compiled executable.
+        ``locality``: degree-descending node relabel before tiling
+        (ops/tiled_spmm.locality_order) — "auto" enables it for single
+        whole-graph batches with skewed degrees (power-law KGs / protein
+        networks), where it concentrates edges into few tile pairs;
+        block-diagonal molecular batches keep their natural (already
+        clustered) order.
         """
         if self.tiled_adj is not None:
             return self
@@ -211,6 +218,17 @@ class GraphBatch:
         w = _np.asarray(self.edge_weights)
         tes = []
         for c in range(s.shape[0]):
+            if locality == "auto":
+                loc = False
+                if self.n_graph == 1:
+                    deg = _np.bincount(
+                        r[c][w[c] != 0], minlength=self.total_nodes
+                    )
+                    nz = deg[deg > 0]
+                    # skewed-degree single graph → relabeling pays
+                    loc = len(nz) > 0 and nz.max() >= 8 * max(nz.mean(), 1.0)
+            else:
+                loc = bool(locality)
             ts, tr, chunk = tiling or choose_tiling(
                 s[c], r[c], self.total_nodes, feature_dim, weights=w[c]
             )
@@ -218,6 +236,7 @@ class GraphBatch:
                 build_tiled(
                     s[c], r[c], self.total_nodes, weights=w[c],
                     ts=ts, tr=tr, chunk=chunk, chunk_budget=chunk_budget,
+                    locality=loc,
                 )
             )
         return self.replace(tiled_adj=tuple(tes))

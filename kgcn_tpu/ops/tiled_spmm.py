@@ -98,6 +98,11 @@ class TiledCOO:
     chunk_first: jax.Array
     meta: TiledMeta = struct.field(pytree_node=False)
     transpose: Optional["TiledCOO"] = None
+    # locality relabeling (build_tiled(locality=True)): node_perm[new] = old,
+    # node_inv[old] = new.  The structure's tiles live in the relabeled
+    # space; tiled_spmm permutes x in and the output back out.
+    node_perm: Optional[jax.Array] = None
+    node_inv: Optional[jax.Array] = None
 
 
 def _build_arrays(s, r, eid, num_senders, num_receivers, num_edges,
@@ -177,13 +182,22 @@ def build_tiled(senders, receivers, num_nodes: int, *,
                 weights=None, num_sender_nodes: int | None = None,
                 ts: int = 512, tr: int = 512, chunk: int = 128,
                 with_transpose: bool = True,
-                chunk_budget: int | None = None) -> TiledCOO:
+                chunk_budget: int | None = None,
+                locality: bool = False) -> TiledCOO:
     """Build the tiled chunk structure (host-side, topology only).
 
     ``weights`` is only consulted to DROP padding edges (weight 0) from the
     structure; actual weight values are a dynamic input to
     :func:`tiled_spmm`.  ``num_sender_nodes`` defaults to ``num_nodes``
     (square adjacency).
+
+    ``locality``: relabel nodes degree-descending (:func:`locality_order`)
+    before tiling, so power-law graphs concentrate their edges into few
+    (rt, st) tile pairs — fewer chunks, fewer x-tile reloads (measured
+    2-3× on clustered vs uniform regimes, docs/performance.md).  The
+    permutation is carried on the structure and applied transparently by
+    :func:`tiled_spmm` (one V-row take in, one out — ~10× cheaper than the
+    slot gather it shrinks).  Square adjacency only.
     """
     assert ts % 8 == 0 and tr % 8 == 0 and chunk % 8 == 0, (
         "tile/chunk sizes must be sublane-aligned (multiples of 8)"
@@ -199,6 +213,14 @@ def build_tiled(senders, receivers, num_nodes: int, *,
     s_v, r_v = s[valid], r[valid]
     n_send = num_sender_nodes if num_sender_nodes is not None else num_nodes
 
+    perm = inv = None
+    if locality:
+        assert n_send == num_nodes, "locality relabel needs square adjacency"
+        perm = locality_order(s_v, r_v, num_nodes)       # perm[new] = old
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(num_nodes, dtype=perm.dtype)
+        s_v, r_v = inv[s_v], inv[r_v]
+
     te = _build_arrays(s_v, r_v, eid, n_send, num_nodes, num_edges,
                        ts, tr, chunk)
     if chunk_budget is not None:
@@ -209,6 +231,9 @@ def build_tiled(senders, receivers, num_nodes: int, *,
         if chunk_budget is not None:
             tt = _pad_chunks(tt, chunk_budget)
         te = te.replace(transpose=tt)
+    if perm is not None:
+        te = te.replace(node_perm=jnp.asarray(perm.astype(np.int32)),
+                        node_inv=jnp.asarray(inv.astype(np.int32)))
     return te
 
 
@@ -480,8 +505,16 @@ def tiled_spmm(te: TiledCOO, weights, x, *, compute_dtype=None):
     fwd_ints = (te.s_loc, te.r_loc, te.chunk_rt, te.chunk_st, te.chunk_first)
     tt = te.transpose
     bwd_ints = (tt.s_loc, tt.r_loc, tt.chunk_rt, tt.chunk_st, tt.chunk_first)
-    return _core(meta, metaT, jnp.dtype(compute_dtype).name,
-                 fwd_ints, bwd_ints, w_chunks, wT_chunks, x)
+    if te.node_perm is not None:
+        # locality-relabeled structure: permute x into the relabeled space
+        # and the result back out (V-row takes — ~10× cheaper than the slot
+        # gather the relabeling shrinks)
+        x = jnp.take(x, te.node_perm, axis=0)
+    out = _core(meta, metaT, jnp.dtype(compute_dtype).name,
+                fwd_ints, bwd_ints, w_chunks, wT_chunks, x)
+    if te.node_perm is not None:
+        out = jnp.take(out, te.node_inv, axis=0)
+    return out
 
 
 def tiled_sddmm(te: TiledCOO, a, b, *, compute_dtype=None):
@@ -490,6 +523,9 @@ def tiled_sddmm(te: TiledCOO, a, b, *, compute_dtype=None):
     if compute_dtype is None:
         compute_dtype = _DEFAULT_COMPUTE_DTYPE[0]
     meta = te.meta
+    if te.node_perm is not None:
+        a = jnp.take(a, te.node_perm, axis=0)
+        b = jnp.take(b, te.node_perm, axis=0)
     dw = _sddmm_pallas_call(
         meta, te.s_loc, te.r_loc, te.chunk_rt, te.chunk_st, te.chunk_first,
         b.astype(jnp.float32), a.astype(jnp.float32), jnp.dtype(compute_dtype)

@@ -1,0 +1,34 @@
+"""Per-task ROC-AUC from a CV info json (reference OR ours).
+
+Usage: python refrun/compute_mt_auc.py refrun/artifacts/ref_mt_info_cv.json
+The reference's multitask model emits one sigmoid per task
+([N, tasks, 1] prediction_data); ours emits [N, tasks, 2] softmax pairs —
+both handled.
+"""
+import json
+import sys
+
+import numpy as np
+from sklearn.metrics import roc_auc_score
+
+
+def main(path):
+    d = json.load(open(path))
+    folds = d if isinstance(d, list) else d.get("folds", [])
+    aucs = []
+    for fold in folds:
+        p = np.array(fold["prediction_data"], dtype=np.float64)
+        y = np.array(fold["test_labels"], dtype=np.float64)
+        if p.ndim == 3 and p.shape[2] == 2:
+            p = p[:, :, 1]
+        elif p.ndim == 3:
+            p = p[:, :, 0]
+        aucs.append([roc_auc_score(y[:, t], p[:, t])
+                     for t in range(p.shape[1])])
+    a = np.array(aucs)
+    print(f"per-task AUC (mean over folds): {a.mean(0).round(3).tolist()}")
+    print(f"overall mean AUC: {a.mean():.3f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

@@ -331,3 +331,100 @@ def test_tiled_spmm_production_tiles_on_chip():
     for a, b in zip(gt, gx):
         denom = float(jnp.max(jnp.abs(b))) or 1.0
         assert float(jnp.max(jnp.abs(a - b))) / denom < 1e-4
+
+
+@tiny_tiles
+def test_build_tiled_locality_transparent():
+    """build_tiled(locality=True): identical results to the XLA path with
+    the permutation handled INSIDE tiled_spmm/tiled_sddmm, and fewer chunks
+    on a power-law graph (the integration VERDICT r03 asked for)."""
+    V, E, F = 256, 2000, 16
+    rng = np.random.RandomState(1)
+    # hubs SCATTERED across the id space: raw tiling pays a tile pair for
+    # every (hub, hub) combination; degree-descending relabel packs them
+    # into the first tile
+    hub_ids = rng.choice(V, 16, replace=False)
+    s = np.concatenate([hub_ids[rng.randint(0, 16, E // 2)],
+                        rng.randint(0, V, E - E // 2)]).astype(np.int32)
+    r = np.concatenate([hub_ids[rng.randint(0, 16, E // 2)],
+                        rng.randint(0, V, E - E // 2)]).astype(np.int32)
+    w = (rng.random_sample(E) + 0.1).astype(np.float32)
+    x = rng.standard_normal((V, F)).astype(np.float32)
+
+    te_loc = build_tiled(s, r, V, weights=w, ts=32, tr=32, chunk=8,
+                         locality=True)
+    te_raw = build_tiled(s, r, V, weights=w, ts=32, tr=32, chunk=8)
+    # hub edges concentrate into fewer tile pairs → fewer chunks
+    assert te_loc.meta.n_chunks <= te_raw.meta.n_chunks
+
+    got = np.asarray(
+        tiled_spmm(te_loc, jnp.asarray(w), jnp.asarray(x),
+                   compute_dtype=jnp.float32)
+    )
+    want = np.asarray(
+        spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w), jnp.asarray(x), V)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the carried permutation
+    def loss(wv, xv):
+        return jnp.sum(tiled_spmm(te_loc, wv, xv, compute_dtype=jnp.float32)
+                       ** 2)
+
+    gw, gx = jax.grad(loss, argnums=(0, 1))(jnp.asarray(w), jnp.asarray(x))
+
+    def loss_ref(wv, xv):
+        return jnp.sum(
+            spmm(jnp.asarray(s), jnp.asarray(r), wv, xv, V) ** 2
+        )
+
+    gw_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(
+        jnp.asarray(w), jnp.asarray(x)
+    )
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # sddmm under the same relabeled structure
+    a = rng.standard_normal((V, F)).astype(np.float32)
+    b = rng.standard_normal((V, F)).astype(np.float32)
+    got_dw = np.asarray(tiled_sddmm(te_loc, jnp.asarray(a), jnp.asarray(b),
+                                    compute_dtype=jnp.float32))
+    want_dw = np.asarray(sddmm(jnp.asarray(s), jnp.asarray(r),
+                               jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got_dw, want_dw, rtol=1e-4, atol=1e-4)
+
+
+@tiny_tiles
+def test_with_tiled_locality_auto():
+    """GraphBatch.with_tiled locality="auto": ON for a skewed single graph,
+    OFF for block-diagonal molecular batches."""
+    from kgcn_tpu.graph.batch import GraphBatch
+
+    V, E = 512, 4000
+    rng = np.random.RandomState(2)
+    hubs = rng.randint(0, 8, E // 2)
+    s = np.concatenate([hubs, rng.randint(0, V, E - E // 2)]).astype(np.int32)
+    r = np.concatenate([rng.randint(0, 8, E // 2),
+                        rng.randint(0, V, E - E // 2)]).astype(np.int32)
+    g = GraphBatch(
+        senders=jnp.asarray(s[None]),
+        receivers=jnp.asarray(r[None]),
+        edge_weights=jnp.ones((1, E), jnp.float32),
+        n_edge=jnp.asarray([E], jnp.int32),
+        n_node=jnp.asarray([V], jnp.int32),
+        node_mask=jnp.ones((V,), jnp.float32),
+        n_graph=1,
+        max_nodes=V,
+    )
+    gt = g.with_tiled(tiling=(64, 64, 32))
+    assert gt.tiled_adj[0].node_perm is not None  # skewed → relabeled
+
+    # uniform-degree single graph: auto stays off
+    s2 = rng.randint(0, V, E).astype(np.int32)
+    r2 = rng.randint(0, V, E).astype(np.int32)
+    g2 = g.replace(senders=jnp.asarray(s2[None]),
+                   receivers=jnp.asarray(r2[None]))
+    gt2 = g2.with_tiled(tiling=(64, 64, 32))
+    assert gt2.tiled_adj[0].node_perm is None
