@@ -39,14 +39,26 @@ def main():
 
     from kgcn_tpu.ops.tiled_spmm import build_tiled, choose_tiling, tiled_spmm
 
+    from kgcn_tpu.ops.tiled_spmm import locality_order
+
+    alpha = float(os.environ.get("LOC_ALPHA", "1.1"))
     V, E, F = 100_000, 1_000_000, 128
-    s, r = powerlaw_graph(V, E)
+    s, r = powerlaw_graph(V, E, alpha=alpha)
     w = np.ones(E, np.float32)
     x = jnp.asarray(np.random.RandomState(1)
                     .standard_normal((V, F)).astype(np.float32))
-    out = {}
+    out = {"alpha": alpha}
     for loc in (False, True):
-        ts, tr, chunk = choose_tiling(s, r, V, F, weights=w)
+        # pick the tiling for the graph AS THE KERNEL WILL SEE IT
+        # (relabeled when locality is on)
+        if loc:
+            perm = locality_order(s, r, V)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(V)
+            s_c, r_c = inv[s], inv[r]
+        else:
+            s_c, r_c = s, r
+        ts, tr, chunk = choose_tiling(s_c, r_c, V, F, weights=w)
         te = build_tiled(s, r, V, weights=w, ts=ts, tr=tr, chunk=chunk,
                          locality=loc)
         out[f"n_chunks_loc{int(loc)}"] = te.meta.n_chunks

@@ -54,6 +54,10 @@ def main(argv=None):
                         "(reference --use_sybyl, kgcn/preprocessing/chem.py:135)")
     p.add_argument("--use-gasteiger", action="store_true",
                    help="append Gasteiger partial charge to atom features")
+    p.add_argument("--use-gaff", action="store_true",
+                   help="GAFF atom-type one-hot as the ONLY atom features "
+                        "(reference --use_gaff, kgcn/preprocessing/chem.py:"
+                        "139-140; openbabel-free graph-context typer)")
     p.add_argument("--pseudo-negative", action="store_true",
                    help="balance assay labels by unmasking random cells as "
                         "negatives (CPI; reference chem.py:193-226)")
@@ -98,6 +102,12 @@ def main(argv=None):
         )
         symbol_num = len(fz.AMINO_ACIDS) + 2
 
+    if args.use_gaff and (args.use_sybyl or args.use_electronegativity
+                          or args.use_gasteiger or args.deepchem_compat):
+        # the reference documents GAFF as exclusive of every other feature
+        # mode (chem.py:139-140) — the one-hot IS the whole vector
+        p.error("--use-gaff cannot be combined with other feature flags "
+                "(reference chem.py:139-140)")
     if args.deepchem_compat and (args.use_sybyl or args.use_electronegativity
                                  or args.use_gasteiger):
         # the reference forces use_sybyl/EN/gasteiger off in deepchem mode
@@ -116,6 +126,7 @@ def main(argv=None):
         use_electronegativity=args.use_electronegativity,
         use_gasteiger=args.use_gasteiger,
         use_sybyl=args.use_sybyl,
+        use_gaff=args.use_gaff,
         with_fingerprint=args.morgan_fingerprint,
         sequences=sequences,
         sequence_symbol_num=symbol_num,

@@ -178,6 +178,183 @@ def sybyl_atom_type(atom) -> str:
     return sym
 
 
+# GAFF atom-type vocabulary — the reference's exact list order
+# (kgcn/preprocessing/utils.py:57-62).  In ``--use-gaff`` mode the one-hot
+# over this list IS the whole feature vector (the reference's
+# mol_gaff_features replaces atom_features entirely; chem.py:139-140
+# "Cannot be used at the same time as the other features").
+GAFF_LIST = [
+    "c", "c1", "c2", "c3", "ca", "cp", "cq", "cc", "cd", "ce", "cf", "cg",
+    "ch", "cx", "cy", "cu", "cv", "cz",
+    "h1", "h2", "h3", "h4", "h5", "ha", "hc", "hn", "ho", "hp", "hs", "hw",
+    "hx", "f", "cl", "br", "i", "n", "n1",
+    "n2", "n3", "n4", "na", "nb", "nc", "nd", "ne", "nf", "nh", "no", "o",
+    "oh", "os", "ow", "p2", "p3", "p4", "p5",
+    "pb", "pc", "pd", "pe", "pf", "px", "py", "s", "s2", "s4", "s6", "sh",
+    "ss", "sx", "sy",
+]
+
+
+def _ring_size(atom) -> int:
+    """Smallest ring containing the atom (0 = acyclic), duck-typed over
+    RDKit atoms and molparse atoms (cycle basis cached on the molecule)."""
+    if hasattr(atom, "IsInRing"):  # RDKit
+        if not atom.IsInRing():
+            return 0
+        for size in range(3, 10):
+            if atom.IsInRingSize(size):
+                return size
+        return 10
+    mol, i = atom._mol, atom.idx
+    rings = getattr(mol, "_ring_cache", None)
+    if rings is None:
+        from kgcn_tpu.data.molparse import _cycle_basis
+
+        rings = _cycle_basis(
+            len(mol.atoms), [(a, b) for a, b, _ in mol.bonds]
+        )
+        try:
+            mol._ring_cache = rings
+        except Exception:
+            pass
+    sizes = [len(r) for r in rings if i in r]
+    return min(sizes) if sizes else 0
+
+
+def gaff_atom_type(atom) -> str:
+    """GAFF atom type from graph context — functional equivalent of the
+    reference's openbabel force-field typer (kgcn/preprocessing/utils.py:
+    57-79, ``pybel._forcefields["gaff"]``), reimplemented over the molecule
+    protocol so it runs openbabel-free.
+
+    Covers the common organic subset exactly (c/c1/c2/c3/ca/cx/cy/cu/cv/cz,
+    n/n1/n2/n3/n4/na/nb/nh/no, o/oh/os, s/s2/s4/s6/sh/ss, p2/p3/p5, f/cl/
+    br/i, and the hydrogen classes for explicit-H molecules).  Approximated
+    (documented in PARITY.md): biphenyl-bridge cp/cq → ca; non-pure-aromatic
+    cc-ch and nc-nf conjugation splittings → their base sp2 type (c2 / n2 /
+    nb); pb/pc-pf/px/py/sx/sy conjugation variants → base type.  Unknown
+    exotics fall into the reference's unk-last bucket ('sy')."""
+    z = atom.GetAtomicNum()
+    nbrs = _neighbor_bonds(atom)
+    deg = atom.GetDegree()
+    hyb = _HYB_SUFFIX.get(str(atom.GetHybridization()), 3)
+    ring = _ring_size(atom)
+    orders = [o for _, o in nbrs]
+
+    if z == 1:  # explicit hydrogens
+        if not nbrs:
+            return "hc"
+        a, _ = nbrs[0]
+        az = a.GetAtomicNum()
+        if az == 7:
+            return "hn"
+        if az == 8:
+            return "ho"
+        if az == 16:
+            return "hs"
+        if az == 15:
+            return "hp"
+        if az == 6:
+            ew = sum(1 for b, _ in _neighbor_bonds(a)
+                     if b.GetAtomicNum() in (7, 8, 9, 16, 17, 35, 53))
+            if a.GetIsAromatic():
+                return {0: "ha", 1: "h4", 2: "h5"}.get(min(ew, 2), "h5")
+            return {0: "hc", 1: "h1", 2: "h2", 3: "h3"}.get(min(ew, 3), "h3")
+        return "hc"
+    if z == 6:
+        if atom.GetIsAromatic():
+            return "ca"  # cp/cq/cc/cd approximated to the pure-aromatic type
+        if any(o == 2 and a.GetAtomicNum() in (8, 16) for a, o in nbrs):
+            return "c"  # carbonyl / thiocarbonyl
+        if hyb == 1 or any(o == 3 for o in orders):
+            return "c1"
+        if hyb == 2:
+            n_nbrs = [a for a, _ in nbrs if a.GetAtomicNum() == 7]
+            if deg == 3 and len(n_nbrs) == 3:
+                return "cz"  # guanidinium
+            if ring == 3:
+                return "cu"
+            if ring == 4:
+                return "cv"
+            return "c2"  # ce/cf/cc/cd conjugation split approximated
+        if ring == 3:
+            return "cx"
+        if ring == 4:
+            return "cy"
+        return "c3"
+    if z == 7:
+        o_term = [a for a, _ in nbrs
+                  if a.GetAtomicNum() == 8 and a.GetDegree() == 1]
+        if len(o_term) >= 2:
+            return "no"  # nitro
+        if atom.GetIsAromatic():
+            # pyrrole-like (3 connections incl. implicit H) → na;
+            # pyridine-like 2-connection → nb (nc/nd approximated)
+            return "na" if deg + atom.GetTotalNumHs() >= 3 else "nb"
+        for a, order in nbrs:
+            if a.GetAtomicNum() == 6 and order == 1:
+                for a2, o2 in _neighbor_bonds(a):
+                    if o2 == 2 and a2.GetAtomicNum() in (8, 16):
+                        return "n"  # amide
+        if hyb == 1 or any(o == 3 for o in orders):
+            return "n1"
+        if deg == 4 or (hyb == 3 and atom.GetFormalCharge() > 0):
+            return "n4"
+        if any(o == 2 for o in orders):
+            return "n2"  # ne/nf approximated
+        if any(a.GetIsAromatic() for a, _ in nbrs):
+            return "nh"  # aniline-like amine
+        return "n3"
+    if z == 8:
+        if any(o == 2 for o in orders) or (deg == 1 and hyb == 2):
+            return "o"
+        if deg == 1 and atom.GetFormalCharge() < 0:
+            return "o"  # carboxylate/phenolate terminal O
+        if atom.GetTotalNumHs() > 0:
+            return "oh"
+        return "os"
+    if z == 16:
+        o_dbl = sum(1 for a, o in nbrs
+                    if o == 2 and a.GetAtomicNum() == 8)
+        if o_dbl >= 2:
+            return "s6"  # sulfone / sulfate
+        if o_dbl == 1 and deg >= 3:
+            return "s4"  # sulfoxide
+        if any(o == 2 for o in orders):
+            return "s2" if deg >= 2 else "s"
+        if atom.GetTotalNumHs() > 0:
+            return "sh"
+        return "ss"
+    if z == 15:
+        o_dbl = sum(1 for a, o in nbrs
+                    if o == 2 and a.GetAtomicNum() == 8)
+        if deg >= 4 or o_dbl >= 1:
+            return "p5"  # phosphate-like
+        if hyb == 2 and deg == 2:
+            return "p2"
+        return "p3"
+    if z == 9:
+        return "f"
+    if z == 17:
+        return "cl"
+    if z == 35:
+        return "br"
+    if z == 53:
+        return "i"
+    return atom.GetSymbol().lower()  # exotics → unk-last bucket
+
+
+def mol_gaff_features(mol) -> np.ndarray:
+    """[N, 71] GAFF one-hot feature matrix — the reference's
+    ``mol_gaff_features`` (kgcn/preprocessing/utils.py:57-79) without
+    openbabel.  Types outside the vocabulary land in the unk-last bucket,
+    mirroring ``one_of_k_encoding_unk``."""
+    return np.stack([
+        np.asarray(one_of_k(gaff_atom_type(a), GAFF_LIST), np.float32)
+        for a in mol.GetAtoms()
+    ])
+
+
 def atom_features(atom, degree_dim: int = DEGREE_DIM, *,
                   use_electronegativity: bool = False,
                   use_gasteiger: bool = False,
@@ -237,12 +414,20 @@ def adjacency_matrix(mol) -> np.ndarray:
 def mol_to_graph(mol, atom_num_limit: int, deepchem_compat: bool = False, *,
                  use_electronegativity: bool = False,
                  use_gasteiger: bool = False,
-                 use_sybyl: bool = False):
+                 use_sybyl: bool = False,
+                 use_gaff: bool = False):
     """One molecule → (padded feature [N, F], adjacency dense [n, n]) or None
     if it exceeds the atom limit (kgcn/preprocessing/chem.py atom filter)."""
     n = mol.GetNumAtoms()
     if n > atom_num_limit:
         return None
+    if use_gaff:
+        # GAFF mode REPLACES the whole feature vector with the 71-type
+        # one-hot (reference create_feature_matrix, utils.py:156-161)
+        feats = mol_gaff_features(mol)
+        padded = np.zeros((atom_num_limit, feats.shape[1]), np.float32)
+        padded[:n] = feats
+        return padded, adjacency_matrix(mol)
     if use_gasteiger:
         if hasattr(mol, "adjacency_matrix"):
             raise ValueError(
@@ -328,6 +513,7 @@ def build_chem_dataset(
     use_electronegativity: bool = False,
     use_gasteiger: bool = False,
     use_sybyl: bool = False,
+    use_gaff: bool = False,
     with_fingerprint: bool = False,
     sequences: Optional[np.ndarray] = None,
     sequence_symbol_num: Optional[int] = None,
@@ -352,7 +538,8 @@ def build_chem_dataset(
         out = mol_to_graph(mol, atom_num_limit, deepchem_compat,
                            use_sybyl=use_sybyl,
                            use_electronegativity=use_electronegativity,
-                           use_gasteiger=use_gasteiger)
+                           use_gasteiger=use_gasteiger,
+                           use_gaff=use_gaff)
         if out is None:
             continue
         f, a = out

@@ -414,3 +414,86 @@ def test_sybyl_feature_vector_and_cli(tmp_path):
     assert r.returncode == 0, r.stderr
     data = joblib.load(out)
     assert data["feature"].shape[-1] == expected
+
+
+def test_gaff_atom_types():
+    """GAFF typing (featurizer.gaff_atom_type — openbabel-free functional
+    equivalent of the reference's force-field typer,
+    kgcn/preprocessing/utils.py:57-79) on molecules with known types."""
+    from kgcn_tpu.data import featurizer as fz
+    from kgcn_tpu.data.molparse import parse_smiles as mol_from_smiles
+
+    def types(smiles):
+        mol = mol_from_smiles(smiles)
+        return [fz.gaff_atom_type(a) for a in mol.GetAtoms()]
+
+    assert types("CC") == ["c3", "c3"]                        # ethane
+    assert types("C=C") == ["c2", "c2"]                       # ethene
+    assert types("C#C") == ["c1", "c1"]                       # ethyne
+    assert types("c1ccccc1") == ["ca"] * 6                    # benzene
+    assert types("CC(=O)N") == ["c3", "c", "o", "n"]          # acetamide
+    assert types("CC(=O)O") == ["c3", "c", "o", "oh"]         # acetic acid
+    assert types("CC(=O)OC") == ["c3", "c", "o", "os", "c3"]  # methyl acetate
+    assert types("CO") == ["c3", "oh"]                        # methanol
+    assert types("COC") == ["c3", "os", "c3"]                 # dimethyl ether
+    assert types("CN") == ["c3", "n3"]                        # methylamine
+    assert types("C[NH3+]")[1] == "n4"                        # methylammonium
+    assert types("CC#N") == ["c3", "c1", "n1"]                # acetonitrile
+    assert types("C[N+](=O)[O-]")[1] == "no"                  # nitromethane
+    assert types("c1ccncc1")[3] == "nb"                       # pyridine N
+    assert types("c1cc[nH]c1")[3] == "na"                     # pyrrole N
+    assert types("Nc1ccccc1")[0] == "nh"                      # aniline N
+    assert types("NC(=[NH2+])N")[1] == "cz"                   # guanidinium C
+    assert types("CS") == ["c3", "sh"]                        # methanethiol
+    assert types("CSC") == ["c3", "ss", "c3"]                 # thioether
+    t = types("CS(=O)(=O)C")                                  # sulfone
+    assert t[1] == "s6"
+    assert types("CS(=O)C")[1] == "s4"                        # sulfoxide
+    assert types("C=S")[1] == "s"                             # thioformaldehyde C=S
+    assert types("CP(C)C")[1] == "p3"                         # trimethylphosphine
+    t = types("COP(=O)(OC)OC")                                # trimethyl phosphate
+    assert t[2] == "p5"
+    assert types("FC(Cl)(Br)I")[0] == "f"
+    assert types("FC(Cl)(Br)I")[2:] == ["cl", "br", "i"]
+    assert types("C1CC1") == ["cx", "cx", "cx"]               # cyclopropane
+
+
+def test_gaff_feature_vector_and_cli(tmp_path):
+    """--use-gaff: the 71-type one-hot IS the whole feature vector
+    (reference create_feature_matrix, utils.py:156-161), exclusive of the
+    other feature flags (chem.py:139-140)."""
+    import subprocess
+    import sys
+
+    import joblib
+
+    from kgcn_tpu.data import featurizer as fz
+    from kgcn_tpu.data.molparse import parse_smiles as mol_from_smiles
+
+    mol = mol_from_smiles("CC(=O)N")
+    f = fz.mol_gaff_features(mol)
+    assert f.shape == (4, len(fz.GAFF_LIST))
+    assert (f.sum(axis=1) == 1.0).all()
+    assert f[0, fz.GAFF_LIST.index("c3")] == 1.0
+    assert f[1, fz.GAFF_LIST.index("c")] == 1.0
+
+    smi = tmp_path / "in.smi"
+    smi.write_text("CC(=O)N\nc1ccccc1\n")
+    lab = tmp_path / "labels.csv"
+    lab.write_text("1\n0\n")
+    out = tmp_path / "ds.jbl"
+    r = subprocess.run(
+        [sys.executable, "-m", "kgcn_tpu.cli.chem", "--smiles", str(smi),
+         "--label", str(lab), "--use-gaff", "-o", str(out),
+         "--atom-num-limit", "10"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    data = joblib.load(out)
+    assert data["feature"].shape[-1] == len(fz.GAFF_LIST)
+
+    # exclusivity matches the reference's documented constraint
+    r2 = subprocess.run(
+        [sys.executable, "-m", "kgcn_tpu.cli.chem", "--smiles", str(smi),
+         "--label", str(lab), "--use-gaff", "--use-sybyl", "-o", str(out)],
+        capture_output=True, text=True)
+    assert r2.returncode != 0
