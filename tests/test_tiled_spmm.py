@@ -398,33 +398,45 @@ def test_build_tiled_locality_transparent():
 
 @tiny_tiles
 def test_with_tiled_locality_auto():
-    """GraphBatch.with_tiled locality="auto": ON for a skewed single graph,
-    OFF for block-diagonal molecular batches."""
+    """GraphBatch.with_tiled locality="auto": the cost model decides for
+    single whole-graph batches; uniform-degree graphs never relabel, and
+    the decision matches choose_tiling_with_locality."""
     from kgcn_tpu.graph.batch import GraphBatch
+    from kgcn_tpu.ops.tiled_spmm import choose_tiling_with_locality
 
-    V, E = 512, 4000
+    V, E = 4096, 30000
     rng = np.random.RandomState(2)
-    hubs = rng.randint(0, 8, E // 2)
-    s = np.concatenate([hubs, rng.randint(0, V, E - E // 2)]).astype(np.int32)
-    r = np.concatenate([rng.randint(0, 8, E // 2),
-                        rng.randint(0, V, E - E // 2)]).astype(np.int32)
+    # steep power law over SCATTERED ids — the regime the on-chip bench
+    # measured at 1.6x for relabeling
+    p = 1.0 / np.arange(1, V + 1) ** 1.6
+    p /= p.sum()
+    ids = rng.permutation(V)
+    s = ids[rng.choice(V, E, p=p)].astype(np.int32)
+    r = ids[rng.choice(V, E, p=p)].astype(np.int32)
+    w = np.ones(E, np.float32)
     g = GraphBatch(
         senders=jnp.asarray(s[None]),
         receivers=jnp.asarray(r[None]),
-        edge_weights=jnp.ones((1, E), jnp.float32),
+        edge_weights=jnp.asarray(w[None]),
         n_edge=jnp.asarray([E], jnp.int32),
         n_node=jnp.asarray([V], jnp.int32),
         node_mask=jnp.ones((V,), jnp.float32),
         n_graph=1,
         max_nodes=V,
     )
-    gt = g.with_tiled(tiling=(64, 64, 32))
-    assert gt.tiled_adj[0].node_perm is not None  # skewed → relabeled
+    _, want_loc = choose_tiling_with_locality(s, r, V, 128, weights=w)
+    gt = g.with_tiled()
+    got_loc = gt.tiled_adj[0].node_perm is not None
+    assert got_loc == want_loc
 
-    # uniform-degree single graph: auto stays off
+    # uniform-degree single graph: the model never prefers relabeling
     s2 = rng.randint(0, V, E).astype(np.int32)
     r2 = rng.randint(0, V, E).astype(np.int32)
     g2 = g.replace(senders=jnp.asarray(s2[None]),
                    receivers=jnp.asarray(r2[None]))
-    gt2 = g2.with_tiled(tiling=(64, 64, 32))
+    gt2 = g2.with_tiled()
     assert gt2.tiled_adj[0].node_perm is None
+
+    # explicit tiling bypasses the auto decision (no relabel)
+    gt3 = g.with_tiled(tiling=(64, 64, 32))
+    assert gt3.tiled_adj[0].node_perm is None
