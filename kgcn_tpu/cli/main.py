@@ -383,18 +383,21 @@ def cmd_train(config) -> Dict[str, Any]:
         if config.get("save_info_valid"):
             _save_json(config["save_info_valid"], result)
 
-    if config.get("export_model"):
+    if config.get("export_model") or config.get("export_savedmodel"):
         from kgcn_tpu.data import Batcher
-        from kgcn_tpu.runtime.export import export_model
+        from kgcn_tpu.runtime.export import export_model, export_savedmodel
 
         b = Batcher(train_ds, info, int(config["batch_size"]))
         sample = b.make_batch(np.arange(min(int(config["batch_size"]), train_ds.num)))
-        export_model(
-            trainer.model,
-            {"params": state.params, "batch_stats": state.batch_stats},
-            sample,
-            config["export_model"],
-        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if config.get("export_model"):
+            export_model(trainer.model, variables, sample,
+                         config["export_model"])
+        if config.get("export_savedmodel"):
+            # TF-consumable artifact (reference: frozen GraphDef /
+            # BestExporter SavedModel)
+            export_savedmodel(trainer.model, variables, sample,
+                              config["export_savedmodel"])
 
     if config.get("save_info_train"):
         hist = fit_info["history"]

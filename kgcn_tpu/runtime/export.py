@@ -80,3 +80,48 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exported = jax.export.deserialize(bytearray(f.read()))
     return exported.call
+
+
+def export_savedmodel(model, variables: Dict[str, Any], sample_batch,
+                      path: str):
+    """TF SavedModel export via ``jax2tf`` — the compatibility bridge to the
+    reference's TF-consumable artifacts (frozen GraphDef, gcn.py:335-341;
+    estimator BestExporter SavedModel, task_sparse_gcn.py:218-226) so
+    external TF tooling can load and serve our models.
+
+    The serving signature takes the batch's pytree LEAVES as positional
+    tensors (None leaves dropped); ``<path>/kgcn_signature.json`` records
+    each tensor's pytree path, shape and dtype so callers can assemble the
+    feed without our code.  Parameters are baked in as constants (the
+    reference's convert_variables_to_constants semantics).
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    leaves_kp = jax.tree_util.tree_flatten_with_path(sample_batch)[0]
+    treedef = jax.tree_util.tree_structure(sample_batch)
+    leaves = [l for _, l in leaves_kp]
+    names = [jax.tree_util.keystr(kp) for kp, _ in leaves_kp]
+
+    def infer_flat(*flat):
+        batch = jax.tree_util.tree_unflatten(treedef, flat)
+        return model.apply(variables, batch, train=False).prediction
+
+    tf_fn = jax2tf.convert(infer_flat, with_gradient=False)
+    specs = [
+        tf.TensorSpec(np.shape(l), jax2tf.dtype_of_val(l)) for l in leaves
+    ]
+    mod = tf.Module()
+    mod.f = tf.function(tf_fn, input_signature=specs, autograph=False)
+    tf.saved_model.save(mod, path)
+    with open(os.path.join(path, "kgcn_signature.json"), "w") as f:
+        json.dump(
+            [
+                {"path": n, "shape": list(np.shape(l)),
+                 "dtype": str(np.asarray(l).dtype)}
+                for n, l in zip(names, leaves)
+            ],
+            f, indent=2,
+        )
+    print(f"[SAVE] {path} (TF SavedModel, {len(leaves)} input tensors)")
+    return path

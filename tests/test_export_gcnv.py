@@ -52,3 +52,38 @@ def test_gcnv_renders_ig_dump(tmp_path):
     made = os.listdir(tmp_path)
     for suffix in ("adjs.png", "adjs_IG.png", "features.png", "features_IG.png"):
         assert any(f.endswith(suffix) for f in made), suffix
+
+
+def test_export_savedmodel_roundtrip(tmp_path):
+    """jax2tf SavedModel bridge (reference-compat artifact: frozen GraphDef
+    gcn.py:335-341 / BestExporter SavedModel task_sparse_gcn.py:218-226):
+    external TF tooling loads the artifact and reproduces our predictions."""
+    import json
+
+    tf = pytest.importorskip("tensorflow")
+
+    import jax
+
+    from kgcn_tpu.runtime.export import export_savedmodel
+
+    cfg = default_config()
+    cfg.update({"task": "classification"})
+    ds, info = build_dataset(make_ring_dataset(num_pairs=5, seed=0), cfg)
+    model = build_model("gcn", info, cfg)
+    trainer = Trainer(model, cfg, info)
+    b = Batcher(ds, info, 5, seed=0)
+    batch = b.make_batch(np.arange(5))
+    state = trainer.init_state(batch, seed=0)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    path = str(tmp_path / "savedmodel")
+    export_savedmodel(model, variables, batch, path)
+    sig = json.load(open(os.path.join(path, "kgcn_signature.json")))
+    leaves = jax.tree_util.tree_leaves(batch)
+    assert len(sig) == len(leaves)
+
+    loaded = tf.saved_model.load(path)
+    got = loaded.f(*[tf.constant(np.asarray(l)) for l in leaves])
+    want = model.apply(variables, batch, train=False).prediction
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
