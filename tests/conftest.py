@@ -23,3 +23,18 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 if _PLATFORM == "cpu":
     assert jax.default_backend() == "cpu"
+
+# Persistent XLA compile cache for the suite: most test wall-time on this
+# 2-core box is CPU compiles of jitted train steps, repeated identically
+# every run.  First run populates; repeat runs (every later round) hit disk.
+_cache = os.environ.get(
+    "KGCN_TEST_COMPILE_CACHE",
+    os.path.expanduser("~/.cache/kgcn_tpu/xla-tests"),
+)
+if _cache:
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass
