@@ -109,6 +109,7 @@ class Batcher:
         # chunk budget padded so every batch shares one compiled executable
         self._tiled_cfg = None
         self._tiled_budget = None
+        self._tiled_loc = None
         self._stream_budget = None
 
     def _prepare_native(self) -> None:
@@ -367,6 +368,13 @@ class Batcher:
             probe = graph.with_tiled(feature_dim=F)
             m = probe.tiled_adj[0].meta
             self._tiled_cfg = (m.ts, m.tr, m.chunk)
+            # pin the probe's per-channel locality decisions too: a pinned
+            # tiling bypasses the auto branch, and rebuilding without the
+            # relabel would both lose the win and overflow the budget the
+            # relabeled probe measured
+            self._tiled_loc = tuple(
+                t.node_perm is not None for t in probe.tiled_adj
+            )
             budget = max(
                 max(t.meta.n_chunks for t in probe.tiled_adj),
                 max(t.transpose.meta.n_chunks for t in probe.tiled_adj),
@@ -378,6 +386,7 @@ class Batcher:
                     tiling=self._tiled_cfg,
                     chunk_budget=self._tiled_budget,
                     feature_dim=F,
+                    locality=self._tiled_loc,
                 )
             except ValueError:
                 self._tiled_budget *= 2

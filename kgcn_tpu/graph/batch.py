@@ -221,14 +221,19 @@ class GraphBatch:
         w = _np.asarray(self.edge_weights)
         tes = []
         for c in range(s.shape[0]):
-            loc = False
             tl = tiling
             if locality == "auto":
+                loc = False
                 if self.n_graph == 1 and tiling is None:
                     tl, loc = choose_tiling_with_locality(
                         s[c], r[c], self.total_nodes, feature_dim,
                         weights=w[c],
                     )
+            elif isinstance(locality, (tuple, list)):
+                # per-channel decisions pinned by a probe batch
+                # (Batcher._attach_tiled) — must match the probe or the
+                # pinned chunk budget is wrong
+                loc = bool(locality[c])
             else:
                 loc = bool(locality)
             if tl is None:

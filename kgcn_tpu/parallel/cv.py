@@ -53,6 +53,13 @@ def fold_parallel_enabled(config, ds, info, n_folds: int) -> bool:
         return False
     from kgcn_tpu.runtime.resident import resident_enabled
 
+    if config.get("retrain"):
+        # resume is a per-fold sequential-protocol feature (_fit_once
+        # restores the checkpoint before fit); the parallel path would
+        # silently restart from scratch — fall back
+        if flag == "force":
+            print("[fold_parallel] retrain (resume) set; sequential")
+        return False
     if not resident_enabled(config, ds, info):
         if flag == "force":
             print("[fold_parallel] dataset not device-resident; sequential")
@@ -110,6 +117,7 @@ class FoldParallelCV:
         self._sh_rep = NamedSharding(self.mesh, P())
         self._epoch_fn = None
         self._eval_fn = None
+        self._best_fn = None
 
     # --- schedules ------------------------------------------------------
     def _schedule(self, idx_list: List[np.ndarray], rngs, shuffle: bool):
@@ -150,10 +158,24 @@ class FoldParallelCV:
                     st.params, st.batch_stats, batch, sub
                 )
                 updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                # padded all-invalid steps (shorter folds share the group's
+                # max step count) must be TRUE no-ops: zero grads still move
+                # Adam (decayed moments) and fold (0, 0) into BN running
+                # stats — keep the previous state wholesale instead
+                live = jnp.sum(vb) > 0
+
+                def sel(new, old):
+                    return jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(live, n, o), new, old
+                    )
+
                 st = st.replace(
-                    params=optax.apply_updates(st.params, updates),
-                    batch_stats=new_stats, opt_state=new_opt,
-                    step=st.step + 1, rng=rng,
+                    params=sel(optax.apply_updates(st.params, updates),
+                               st.params),
+                    batch_stats=sel(new_stats, st.batch_stats),
+                    opt_state=sel(new_opt, st.opt_state),
+                    step=st.step + live.astype(st.step.dtype),
+                    rng=jnp.where(live, rng, st.rng),
                 )
                 return st, (out.cost_sum, out.metrics)
 
@@ -241,18 +263,63 @@ class FoldParallelCV:
                 self._eval_fn = self._make_eval_fn(False)
             v_sched, v_valid = self._schedule(test_idx, rngs, shuffle=False)
             histories: List[List[Dict[str, Any]]] = [[] for _ in fold_ids]
+            # per-fold best tracking, device-side (the sequential protocol
+            # restores best-validation params before test eval,
+            # Trainer.fit train.py:592-600)
+            if self._best_fn is None:
+                def _update_best(bst, bcost, states_, v_costs_):
+                    improved = v_costs_.astype(jnp.float32) < bcost
+
+                    def pick(new, old):
+                        return jax.tree_util.tree_map(
+                            lambda n, o: jnp.where(
+                                improved.reshape(
+                                    (-1,) + (1,) * (n.ndim - 1)
+                                ), n, o),
+                            new, old,
+                        )
+
+                    new_best = {"params": pick(states_.params, bst["params"]),
+                                "batch_stats": pick(states_.batch_stats,
+                                                    bst["batch_stats"])}
+                    return new_best, jnp.minimum(
+                        bcost, v_costs_.astype(jnp.float32)
+                    )
+
+                self._best_fn = jax.jit(_update_best)
+            # seed `best` with FRESH copies via the jitted update (a huge-
+            # but-finite cost always "improves" on inf): plain aliases of
+            # the init states would be invalidated by the epoch fn's buffer
+            # donation
+            best, best_cost_dev = self._best_fn(
+                {"params": states.params, "batch_stats": states.batch_stats},
+                jnp.full((self.D,), np.inf, jnp.float32),
+                states,
+                jnp.full((self.D,), np.finfo(np.float32).max, jnp.float32),
+            )
+            best_epochs = [-1] * self.D
+            best_costs_host = [np.inf] * self.D
             t0 = time.time()
             for epoch in range(self.epochs):
                 sched, valid = self._schedule(train_idx, rngs, shuffle)
                 states, costs, msum = self._epoch_fn(
                     states, self.dd, sched, valid
                 )
-                _, v_costs, v_msum = self._eval_fn(
+                _, v_costs_dev, v_msum = self._eval_fn(
                     states, self.dd, v_sched, v_valid
                 )
-                costs, msum, v_costs, v_msum = jax.device_get(
-                    (costs, msum, v_costs, v_msum)
+                best, best_cost_dev = self._best_fn(
+                    best, best_cost_dev, states, v_costs_dev
                 )
+                costs, msum, v_costs, v_msum = jax.device_get(
+                    (costs, msum, v_costs_dev, v_msum)
+                )
+                for j in range(self.D):
+                    n_va_j = len(test_idx[j])
+                    c = float(v_costs[j]) / max(n_va_j, 1)
+                    if c < best_costs_host[j]:
+                        best_costs_host[j] = c
+                        best_epochs[j] = epoch
                 for j, f in enumerate(fold_ids[:real]):
                     n_tr, n_va = len(train_idx[j]), len(test_idx[j])
                     row = {
@@ -282,17 +349,28 @@ class FoldParallelCV:
                 )
             wall = time.time() - t0
             for j, f in enumerate(group):
-                st = _unstack(states, j)
-                st = jax.device_get(st)
-                st = jax.tree_util.tree_map(jnp.asarray, st)
+                # restore the best-validation params before test evaluation
+                # (mirrors Trainer.fit's best-checkpoint restore) and write
+                # both the best and last checkpoints the sequential path
+                # produces
+                st = jax.device_get(_unstack(states, j))
+                bj = jax.device_get(_unstack(best, j))
+                st = st.replace(params=bj["params"],
+                                batch_stats=bj["batch_stats"])
+                ckpt.save_checkpoint(
+                    ckpt.ckpt_name(model_dir, "best", f),
+                    self.trainer.state_tree(st, best_epochs[j],
+                                            best_costs_host[j]),
+                )
                 ckpt.save_checkpoint(
                     ckpt.ckpt_name(model_dir, "last", f),
-                    self.trainer.state_tree(st, self.epochs - 1, np.inf),
+                    self.trainer.state_tree(st, self.epochs - 1,
+                                            best_costs_host[j]),
                 )
                 results[f] = (self.trainer, st, {
                     "history": histories[j],
-                    "best_epoch": -1,
-                    "best_validation_cost": None,
+                    "best_epoch": best_epochs[j],
+                    "best_validation_cost": float(best_costs_host[j]),
                     "training_time": wall,
                     "fold_parallel": self.D,
                 })

@@ -98,3 +98,37 @@ def test_fold_parallel_matches_sequential_quality(tmp_path):
     a_seq = r_seq["mean_accuracy"]
     assert abs(a_par - a_seq) < 0.3, (a_par, a_seq)
     assert len(r_par["folds"]) == 4
+
+
+def test_fold_parallel_uneven_folds_and_best_restore(tmp_path):
+    """Review r4 fixes: (a) padded all-invalid steps are TRUE no-ops — a
+    fold with fewer real steps ends with a smaller step counter (Adam and
+    BN untouched on dead steps); (b) per-fold best-validation params are
+    restored and model.<fold>.best.ckpt is written, like Trainer.fit."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from kgcn_tpu.parallel.cv import FoldParallelCV
+
+    (ds, info), cfg = _dataset(n=70)  # 2 folds of 35 — with B=16 both have
+    # 3 steps; force unevenness with explicit folds instead
+    idx = np.arange(70)
+    folds = [(idx[:54], idx[54:]), (idx[:16], idx[16:])]  # 54 vs 16 train
+    cfg = dict(cfg, epoch=3, save_model_path=str(tmp_path / "m"))
+    cv = FoldParallelCV(cfg, info, ds, folds)
+    results = cv.run(log=lambda *_: None)
+    (_, st0, fi0), (_, st1, fi1) = results
+    # fold 0: ceil(54/16)=4 steps/epoch; fold 1: ceil(16/16)=1 → padded to 4
+    # with 3 dead steps that must not advance the step counter
+    assert int(np.asarray(st0.step)) == 3 * 4
+    assert int(np.asarray(st1.step)) == 3 * 1
+    for f, fi in ((0, fi0), (1, fi1)):
+        assert os.path.exists(tmp_path / "m" / f"model.fold{f}.best.ckpt") or \
+            os.path.exists(tmp_path / "m" / f"model.{f}.best.ckpt") or any(
+                "best" in p and str(f) in p
+                for p in os.listdir(tmp_path / "m")
+            ), sorted(os.listdir(tmp_path / "m"))
+        assert fi["best_epoch"] >= 0
+        assert np.isfinite(fi["best_validation_cost"])
