@@ -268,7 +268,11 @@ class FoldParallelCV:
             # Trainer.fit train.py:592-600)
             if self._best_fn is None:
                 def _update_best(bst, bcost, states_, v_costs_):
-                    improved = v_costs_.astype(jnp.float32) < bcost
+                    v = v_costs_.astype(jnp.float32)
+                    # strict `<` also rejects NaN epochs; carrying bcost
+                    # forward via where() (NOT minimum) keeps a NaN from
+                    # poisoning the comparison for all later epochs
+                    improved = v < bcost
 
                     def pick(new, old):
                         return jax.tree_util.tree_map(
@@ -279,12 +283,10 @@ class FoldParallelCV:
                             new, old,
                         )
 
-                    new_best = {"params": pick(states_.params, bst["params"]),
-                                "batch_stats": pick(states_.batch_stats,
-                                                    bst["batch_stats"])}
-                    return new_best, jnp.minimum(
-                        bcost, v_costs_.astype(jnp.float32)
-                    )
+                    # track the FULL state (params, BN stats, opt state,
+                    # step, rng) so the best checkpoint matches what the
+                    # sequential path saves at the best epoch
+                    return pick(states_, bst), jnp.where(improved, v, bcost)
 
                 self._best_fn = jax.jit(_update_best)
             # seed `best` with FRESH copies via the jitted update (a huge-
@@ -292,7 +294,7 @@ class FoldParallelCV:
             # the init states would be invalidated by the epoch fn's buffer
             # donation
             best, best_cost_dev = self._best_fn(
-                {"params": states.params, "batch_stats": states.batch_stats},
+                states,
                 jnp.full((self.D,), np.inf, jnp.float32),
                 states,
                 jnp.full((self.D,), np.finfo(np.float32).max, jnp.float32),
@@ -351,17 +353,22 @@ class FoldParallelCV:
             for j, f in enumerate(group):
                 # restore the best-validation params before test evaluation
                 # (mirrors Trainer.fit's best-checkpoint restore) and write
-                # both the best and last checkpoints the sequential path
-                # produces
+                # the same checkpoints the sequential path produces: best =
+                # the FULL state at the best epoch, last = the final state
+                # with best params restored
                 st = jax.device_get(_unstack(states, j))
-                bj = jax.device_get(_unstack(best, j))
-                st = st.replace(params=bj["params"],
-                                batch_stats=bj["batch_stats"])
-                ckpt.save_checkpoint(
-                    ckpt.ckpt_name(model_dir, "best", f),
-                    self.trainer.state_tree(st, best_epochs[j],
-                                            best_costs_host[j]),
-                )
+                if best_epochs[j] >= 0:
+                    bj = jax.device_get(_unstack(best, j))
+                    st = st.replace(params=bj.params,
+                                    batch_stats=bj.batch_stats)
+                    ckpt.save_checkpoint(
+                        ckpt.ckpt_name(model_dir, "best", f),
+                        self.trainer.state_tree(bj, best_epochs[j],
+                                                best_costs_host[j]),
+                    )
+                # one re-upload so downstream per-batch evaluation doesn't
+                # transfer host numpy params on every eval step
+                st = jax.tree_util.tree_map(jnp.asarray, st)
                 ckpt.save_checkpoint(
                     ckpt.ckpt_name(model_dir, "last", f),
                     self.trainer.state_tree(st, self.epochs - 1,
@@ -370,7 +377,10 @@ class FoldParallelCV:
                 results[f] = (self.trainer, st, {
                     "history": histories[j],
                     "best_epoch": best_epochs[j],
-                    "best_validation_cost": float(best_costs_host[j]),
+                    "best_validation_cost": (
+                        float(best_costs_host[j])
+                        if best_epochs[j] >= 0 else None
+                    ),
                     "training_time": wall,
                     "fold_parallel": self.D,
                 })

@@ -61,10 +61,14 @@ def test_export_savedmodel_roundtrip(tmp_path):
 
     Runs in a SUBPROCESS: TF-in-the-test-process is flaky under the
     suite's parallel workers (thread/XLA-runtime contention)."""
+    import importlib.util
     import subprocess
     import sys
 
-    pytest.importorskip("tensorflow")
+    # find_spec, NOT importorskip: importing TF into this (possibly xdist
+    # worker) process is the exact contention the subprocess avoids
+    if importlib.util.find_spec("tensorflow") is None:
+        pytest.skip("tensorflow unavailable")
     code = f"""
 import json, os
 import numpy as np

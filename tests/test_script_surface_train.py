@@ -4,9 +4,6 @@ subprocess-heavy cases across workers)."""
 import json
 import os
 
-import pytest
-
-REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -45,5 +42,3 @@ def test_script_surface_forwarders(tmp_path):
         )
         assert out.returncode == 0, (script, mode, out.stderr[-2000:])
         assert marker in out.stdout, (script, mode, out.stdout[-2000:])
-
-

@@ -4,9 +4,6 @@ subprocess-heavy cases across workers)."""
 import json
 import os
 
-import pytest
-
-REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
