@@ -285,6 +285,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _prec(cdt):
+    """Explicit kernel matmul precision (same rule as stream_spmm._prec):
+    HIGHEST for the f32 escape hatch, DEFAULT for bf16 — always explicit,
+    because inheriting the global jax_default_matmul_precision inside
+    Mosaic fails to lower ("Bad lhs type" under the suite's "highest")."""
+    return (jax.lax.Precision.HIGHEST if jnp.dtype(cdt) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _spmm_kernel(rt_ref, st_ref, first_ref, sloc_ref, rloc_ref, w_ref,
                  x_ref, out_ref, *, ts, tr, chunk, cdt):
     """One chunk: out[rt] += onehot(r_loc)ᵀ @ ((onehot(s_loc)·w) @ x[st]).
@@ -306,13 +315,15 @@ def _spmm_kernel(rt_ref, st_ref, first_ref, sloc_ref, rloc_ref, w_ref,
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (chunk, ts), 1)
     oh_sw = jnp.where(iota_s == sl, w, 0.0).astype(cdt)      # [chunk, ts]
     # messages[e] = w_e · x[s_e]  — one MXU matmul
-    m = jnp.dot(oh_sw, x_ref[:], preferred_element_type=jnp.float32)
+    m = jnp.dot(oh_sw, x_ref[:], preferred_element_type=jnp.float32,
+                precision=_prec(cdt))
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (chunk, tr), 1)
     oh_r = (iota_r == rl).astype(cdt)                         # [chunk, tr]
     out_ref[:] += jax.lax.dot_general(
         oh_r, m.astype(cdt),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_prec(cdt),
     )
 
 
@@ -327,10 +338,12 @@ def _sddmm_kernel(rt_ref, st_ref, first_ref, sloc_ref, rloc_ref,
     rl = rloc_ref[:]
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (chunk, ts), 1)
     oh_s = (iota_s == sl).astype(cdt)
-    xs = jnp.dot(oh_s, x_ref[:], preferred_element_type=jnp.float32)
+    xs = jnp.dot(oh_s, x_ref[:], preferred_element_type=jnp.float32,
+                 precision=_prec(cdt))
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (chunk, tr), 1)
     oh_r = (iota_r == rl).astype(cdt)
-    gr = jnp.dot(oh_r, g_ref[:], preferred_element_type=jnp.float32)
+    gr = jnp.dot(oh_r, g_ref[:], preferred_element_type=jnp.float32,
+                 precision=_prec(cdt))
     out_ref[:] = jnp.sum(xs * gr, axis=1, keepdims=True)      # [chunk, 1]
 
 
