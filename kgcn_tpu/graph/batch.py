@@ -219,6 +219,8 @@ class GraphBatch:
         s = _np.asarray(self.senders)
         r = _np.asarray(self.receivers)
         w = _np.asarray(self.edge_weights)
+        ev = (_np.asarray(self.edge_valid)
+              if self.edge_valid is not None else None)
         tes = []
         for c in range(s.shape[0]):
             tl = tiling
@@ -246,6 +248,10 @@ class GraphBatch:
                     s[c], r[c], self.total_nodes, weights=w[c],
                     ts=ts, tr=tr, chunk=chunk, chunk_budget=chunk_budget,
                     locality=loc,
+                    # drop by the padding MASK, not by weight==0: a valid
+                    # edge with zero adjacency weight must stay in the
+                    # structure for dynamic (attention) weights
+                    valid_mask=ev[c] if ev is not None else None,
                 )
             )
         return self.replace(tiled_adj=tuple(tes))
@@ -270,10 +276,13 @@ class GraphBatch:
         s = _np.asarray(self.senders)
         r = _np.asarray(self.receivers)
         w = _np.asarray(self.edge_weights)
+        ev = (_np.asarray(self.edge_valid)
+              if self.edge_valid is not None else None)
         kw = dict(params or {})
         sss = tuple(
             build_stream(s[c], r[c], self.total_nodes, weights=w[c],
-                         macro_budget=macro_budget, **kw)
+                         macro_budget=macro_budget,
+                         valid_mask=ev[c] if ev is not None else None, **kw)
             for c in range(s.shape[0])
         )
         return self.replace(stream_adj=sss)

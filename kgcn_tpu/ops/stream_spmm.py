@@ -52,8 +52,10 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from kgcn_tpu.ops._kernel_common import (  # noqa: E402
+    interpret_mode as _interpret,
+    kernel_precision as _prec,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,7 +192,8 @@ def build_stream(senders, receivers, num_nodes: int, *,
                  tr_w: int = 64, chunk: int = 64, mc: int = 24, wb: int = 16,
                  with_transpose: bool = True,
                  macro_budget: int | None = None,
-                 materialize: bool | str = "auto") -> StreamCOO:
+                 materialize: bool | str = "auto",
+                 valid_mask=None) -> StreamCOO:
     """Build the stream chunk structure (host-side).
 
     ``weights``: optional [E] — zero-weight (padding) edges are dropped from
@@ -222,11 +225,17 @@ def build_stream(senders, receivers, num_nodes: int, *,
     s = np.asarray(senders).astype(np.int64)
     r = np.asarray(receivers).astype(np.int64)
     num_edges = len(s)
-    if weights is not None:
-        w_np = np.asarray(weights, np.float32)
+    w_np = (np.asarray(weights, np.float32)
+            if weights is not None else None)
+    if valid_mask is not None:
+        # explicit padding mask: a VALID edge may legitimately carry a
+        # zero adjacency weight (it still gets baked as 0, and dynamic
+        # weights on it are honoured)
+        valid = np.asarray(valid_mask) != 0
+    elif w_np is not None:
         valid = w_np != 0
     else:
-        w_np, valid = None, np.ones(num_edges, bool)
+        valid = np.ones(num_edges, bool)
     eid = np.arange(num_edges, dtype=np.int32)[valid]
     s_v, r_v = s[valid], r[valid]
     n_send = num_sender_nodes if num_sender_nodes is not None else num_nodes
@@ -322,14 +331,6 @@ def _pad_macros(ss: StreamCOO, budget: int) -> StreamCOO:
 
 
 
-def _prec(cdt):
-    """Explicit kernel matmul precision: HIGHEST for the f32 escape hatch
-    (DEFAULT would silently run single-pass bf16 on the MXU), DEFAULT for
-    bf16 payloads.  Always explicit — inheriting the global
-    jax_default_matmul_precision inside Mosaic can fail to lower
-    ("Bad lhs type" observed under the test suite's "highest")."""
-    return (jax.lax.Precision.HIGHEST if jnp.dtype(cdt) == jnp.float32
-            else jax.lax.Precision.DEFAULT)
 
 def _scatter_kernel(rb_ref, first_ref, rloc_ref, w_ref, wid_ref, g_ref,
                     out_ref, *, chunk, tr_w, mc, wb, cdt):

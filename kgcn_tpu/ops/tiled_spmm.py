@@ -102,6 +102,9 @@ class TiledCOO:
     # node_inv[old] = new.  The structure's tiles live in the relabeled
     # space; tiled_spmm permutes x in and the output back out.
     node_perm: Optional[jax.Array] = None
+    # [E] flat slot of each original edge (sentinel = total slot count);
+    # precomputed host-side at build time for tiled_sddmm's slot→edge map
+    edge_slot: Optional[jax.Array] = None
     node_inv: Optional[jax.Array] = None
 
 
@@ -135,7 +138,7 @@ def _build_arrays(s, r, eid, num_senders, num_receivers, num_edges,
     )
     porder = np.argsort(all_keys, kind="stable")
     all_keys, all_counts = all_keys[porder], all_counts[porder]
-    chunks_per_pair = np.maximum(_ceil_div_arr(all_counts, chunk), 1)
+    chunks_per_pair = np.maximum(_cdiv(all_counts, chunk), 1)
     chunk_base = np.concatenate([[0], np.cumsum(chunks_per_pair)])
     n_chunks = int(chunk_base[-1])
 
@@ -174,18 +177,19 @@ def _build_arrays(s, r, eid, num_senders, num_receivers, num_edges,
     )
 
 
-def _ceil_div_arr(a, b):
-    return -(-a // b)
-
-
 def build_tiled(senders, receivers, num_nodes: int, *,
                 weights=None, num_sender_nodes: int | None = None,
                 ts: int = 512, tr: int = 512, chunk: int = 128,
                 with_transpose: bool = True,
                 chunk_budget: int | None = None,
-                locality: bool = False) -> TiledCOO:
+                locality: bool = False,
+                valid_mask=None) -> TiledCOO:
     """Build the tiled chunk structure (host-side, topology only).
 
+    ``valid_mask`` ([E], nonzero = real edge) names the PADDING edges to
+    drop explicitly; prefer it when a valid edge may legitimately carry a
+    zero weight (dynamic attention weights are independent of build-time
+    adjacency values).  Without it,
     ``weights`` is only consulted to DROP padding edges (weight 0) from the
     structure; actual weight values are a dynamic input to
     :func:`tiled_spmm`.  ``num_sender_nodes`` defaults to ``num_nodes``
@@ -202,10 +206,20 @@ def build_tiled(senders, receivers, num_nodes: int, *,
     assert ts % 8 == 0 and tr % 8 == 0 and chunk % 8 == 0, (
         "tile/chunk sizes must be sublane-aligned (multiples of 8)"
     )
+    if not _interpret():
+        # compiled TPU mode with the default bf16 payload needs 16-sublane
+        # x/out blocks (native bf16 tiling is (16, 128)); catch it at build
+        # time instead of a Mosaic lowering failure on chip
+        assert ts % 16 == 0 and tr % 16 == 0, (
+            f"ts={ts}/tr={tr} must be multiples of 16 for compiled TPU "
+            "mode (bf16 sublane tiling)"
+        )
     s = np.asarray(senders).astype(np.int64)
     r = np.asarray(receivers).astype(np.int64)
     num_edges = len(s)
-    if weights is not None:
+    if valid_mask is not None:
+        valid = np.asarray(valid_mask) != 0
+    elif weights is not None:
         valid = np.asarray(weights) != 0
     else:
         valid = np.ones(num_edges, bool)
@@ -234,7 +248,23 @@ def build_tiled(senders, receivers, num_nodes: int, *,
     if perm is not None:
         te = te.replace(node_perm=jnp.asarray(perm.astype(np.int32)),
                         node_inv=jnp.asarray(inv.astype(np.int32)))
+    # slot-of-edge map, precomputed host-side AFTER padding (the absent-edge
+    # sentinel is the FINAL slot count) — tiled_sddmm's per-call device
+    # scatter replaced by one numpy pass
+    te = te.replace(edge_slot=jnp.asarray(_slot_of_edge_np(te)))
     return te
+
+
+def _slot_of_edge_np(te: TiledCOO) -> np.ndarray:
+    """[E] int32: flat slot of each original edge; absent (dropped) edges
+    carry ``total`` — the index of the appended zero in the caller's
+    extended per-slot value vector."""
+    m = te.meta
+    total = m.n_chunks * m.chunk
+    src = np.asarray(te.slot_src).reshape(-1)
+    out = np.full((m.num_edges + 1,), total, np.int64)
+    out[src] = np.arange(total, dtype=np.int64)
+    return out[: m.num_edges].astype(np.int32)
 
 
 def _pad_chunks(te: TiledCOO, budget: int) -> TiledCOO:
@@ -281,17 +311,10 @@ def _pad_chunks(te: TiledCOO, budget: int) -> TiledCOO:
 # kernels
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _prec(cdt):
-    """Explicit kernel matmul precision (same rule as stream_spmm._prec):
-    HIGHEST for the f32 escape hatch, DEFAULT for bf16 — always explicit,
-    because inheriting the global jax_default_matmul_precision inside
-    Mosaic fails to lower ("Bad lhs type" under the suite's "highest")."""
-    return (jax.lax.Precision.HIGHEST if jnp.dtype(cdt) == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+from kgcn_tpu.ops._kernel_common import (  # noqa: E402
+    interpret_mode as _interpret,
+    kernel_precision as _prec,
+)
 
 
 def _spmm_kernel(rt_ref, st_ref, first_ref, sloc_ref, rloc_ref, w_ref,
@@ -510,6 +533,11 @@ def tiled_spmm(te: TiledCOO, weights, x, *, compute_dtype=None):
         compute_dtype = _DEFAULT_COMPUTE_DTYPE[0]
     assert te.transpose is not None, "build_tiled(with_transpose=True) needed"
     meta, metaT = te.meta, te.transpose.meta
+    assert x.shape[0] == meta.num_senders, (
+        f"x rows {x.shape[0]} != structure num_senders {meta.num_senders} "
+        "(a stale structure would silently aggregate zeros for the missing "
+        "rows)"
+    )
     w_ext = jnp.concatenate(
         [weights.astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
     )
@@ -544,8 +572,9 @@ def tiled_sddmm(te: TiledCOO, a, b, *, compute_dtype=None):
         b.astype(jnp.float32), a.astype(jnp.float32), jnp.dtype(compute_dtype)
     )
     flat = jnp.concatenate([dw.reshape(-1), jnp.zeros((1,), jnp.float32)])
-    # map slots back to original edge order
-    inv = _slot_of_edge(te)
+    # map slots back to original edge order (host-precomputed at build time;
+    # device fallback for structures built before edge_slot existed)
+    inv = te.edge_slot if te.edge_slot is not None else _slot_of_edge(te)
     return flat[inv]
 
 
@@ -579,34 +608,51 @@ _CANDIDATES = (
 
 def choose_tiling(senders, receivers, num_nodes: int, feature_dim: int,
                   *, weights=None, candidates=_CANDIDATES,
-                  bytes_per_elt: int = 2,
+                  bytes_per_elt: int | None = None,
+                  num_sender_nodes: int | None = None,
                   return_cost: bool = False):
     """Pick (ts, tr, chunk) minimising a measured-on-v5e cost model evaluated
     on the exact (rt, st) pair histogram of THIS edge list.
 
     Terms (calibrated against on-chip sweeps, docs/performance.md):
-    * MXU: slots·2F(ts+tr) at ~2e14 bf16 FLOP/s;
+    * MXU: slots·2F(ts+tr) at ~2e14 bf16 FLOP/s (1e14 f32);
     * VPU one-hot construction: slots·(ts+tr) iota-compare+select lanes at
       ~1e12/s — the DOMINANT term at F≈128 (runs ~0.7-serial with the MXU);
     * HBM: one ts×F x-tile per (rt,st) pair;
     * grid: ~1 µs per chunk step (small-tile kernels are step-bound).
+
+    ``F`` uses the kernel's actual lane padding (``_round_up(F, 128)``) and
+    the chunk count includes the one forced chunk per edge-free receiver
+    tile that ``build_tiled`` emits; ``bytes_per_elt`` defaults to the
+    module's configured compute dtype (``set_compute_dtype``);
+    ``num_sender_nodes`` keeps the pair histogram correct for rectangular
+    adjacencies.
     """
     s = np.asarray(senders).astype(np.int64)
     r = np.asarray(receivers).astype(np.int64)
     if weights is not None:
         valid = np.asarray(weights) != 0
         s, r = s[valid], r[valid]
-    F = max(feature_dim, 128)
+    if bytes_per_elt is None:
+        bytes_per_elt = jnp.dtype(_DEFAULT_COMPUTE_DTYPE[0]).itemsize
+    n_send = num_sender_nodes if num_sender_nodes is not None else num_nodes
+    F = _round_up(max(feature_dim, 1), 128)
     MXU_FLOPS = 2.0e14 if bytes_per_elt == 2 else 1.0e14
     HBM_BPS = 8.0e11
     VPU_OPS = 1.0e12
     best, best_cost = candidates[0], float("inf")
     for ts, tr, chunk in candidates:
-        n_st = max(_cdiv(num_nodes, ts), 1)
+        n_st = max(_cdiv(n_send, ts), 1)
+        n_rt = max(_cdiv(num_nodes, tr), 1)
         key = (r // tr) * n_st + (s // ts)
-        _, counts = np.unique(key, return_counts=True)
+        uniq, counts = np.unique(key, return_counts=True)
         n_pairs = len(counts)
-        n_chunks = int(np.sum(_ceil_div_arr(counts, chunk)))
+        n_chunks = int(np.sum(_cdiv(counts, chunk)))
+        # build_tiled forces one (all-padding) chunk per edge-free receiver
+        # tile so every out tile gets zeroed — charge them too
+        empty_rt = n_rt - len(np.unique(uniq // n_st))
+        n_chunks += empty_rt
+        n_pairs += empty_rt
         slots = n_chunks * chunk
         t_mxu = slots * 2.0 * F * (ts + tr) / MXU_FLOPS
         t_vpu = slots * 3.0 * (ts + tr) / VPU_OPS
@@ -636,13 +682,16 @@ def choose_tiling_with_locality(senders, receivers, num_nodes: int,
     r = np.asarray(receivers).astype(np.int64)
     raw_t, raw_c = choose_tiling(s, r, num_nodes, feature_dim,
                                  weights=weights, return_cost=True)
+    # filter BEFORE relabeling: the permutation is only defined over real
+    # node ids (padding edges may carry sentinel endpoints)
     valid = (np.asarray(weights) != 0 if weights is not None
              else np.ones(len(s), bool))
-    perm = locality_order(s[valid], r[valid], num_nodes)
+    s_v, r_v = s[valid], r[valid]
+    perm = locality_order(s_v, r_v, num_nodes)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(num_nodes, dtype=perm.dtype)
-    loc_t, loc_c = choose_tiling(inv[s], inv[r], num_nodes, feature_dim,
-                                 weights=weights, return_cost=True)
+    loc_t, loc_c = choose_tiling(inv[s_v], inv[r_v], num_nodes, feature_dim,
+                                 return_cost=True)
     if loc_c < 0.8 * raw_c:
         return loc_t, True
     return raw_t, False

@@ -440,3 +440,42 @@ def test_with_tiled_locality_auto():
     # explicit tiling bypasses the auto decision (no relabel)
     gt3 = g.with_tiled(tiling=(64, 64, 32))
     assert gt3.tiled_adj[0].node_perm is None
+
+
+@tiny_tiles
+def test_zero_weight_valid_edge_keeps_dynamic_contribution():
+    """Review r4: a VALID edge whose build-time adjacency weight is 0 must
+    stay in the structure (edge_valid mask names padding explicitly), so
+    dynamic attention weights on it are honoured."""
+    from kgcn_tpu.graph.batch import GraphBatch
+
+    V, F = 24, 8
+    s = np.array([0, 1, 2, 3], np.int32)
+    r = np.array([1, 2, 3, 0], np.int32)
+    w_adj = np.array([1.0, 0.0, 1.0, 0.0], np.float32)  # edge 1 valid but 0
+    valid = np.array([1.0, 1.0, 1.0, 0.0], np.float32)  # edge 3 is padding
+    g = GraphBatch(
+        senders=jnp.asarray(s[None]),
+        receivers=jnp.asarray(r[None]),
+        edge_weights=jnp.asarray(w_adj[None]),
+        n_edge=jnp.asarray([3], jnp.int32),
+        n_node=jnp.asarray([V], jnp.int32),
+        node_mask=jnp.ones((V,), jnp.float32),
+        edge_valid=jnp.asarray(valid[None]),
+        n_graph=1,
+        max_nodes=V,
+    )
+    gt = g.with_tiled(tiling=(8, 8, 8), locality=False)
+    te = gt.tiled_adj[0]
+    x = jnp.asarray(
+        np.random.RandomState(0).standard_normal((V, F)).astype(np.float32)
+    )
+    # dynamic weights give edge 1 a nonzero value; padding edge 3 stays 0
+    w_dyn = jnp.asarray(np.array([0.5, 2.0, 0.25, 0.0], np.float32))
+    got = np.asarray(tiled_spmm(te, w_dyn, x, compute_dtype=jnp.float32))
+    want = np.asarray(
+        spmm(jnp.asarray(s[:3]), jnp.asarray(r[:3]), w_dyn[:3], x, V)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # edge 1's contribution is present (would be dropped by a weight!=0 drop)
+    assert abs(got[2] - 2.0 * np.asarray(x)[1]).max() < 1e-5
