@@ -17,6 +17,16 @@ from kgcn_tpu.ops.stream_spmm import (
 )
 
 
+_ON_TPU = jax.default_backend() == "tpu"
+# Tiny stream parameters (mc/tr_w below the Mosaic block minimums) exercise
+# the packing/gradient logic in interpret mode only; on the real chip the
+# build-time alignment assert (build_stream) rejects them by design — the
+# production-size lane below covers compiled mode.
+tiny_stream = pytest.mark.skipif(
+    _ON_TPU, reason="tiny stream params are interpret-mode only; "
+    "see the production on-chip lane")
+
+
 def _xla_spmm(s, r, w, x, V):
     g = x[s] * w[:, None]
     return jax.ops.segment_sum(g, r, num_segments=V)
@@ -34,6 +44,7 @@ def _rand_graph(rng, V, E, Vs=None):
     (37, 150, 5, dict(tr_w=8, chunk=8, mc=2, wb=4)),
     (300, 900, 33, dict(tr_w=32, chunk=16, mc=8, wb=8)),
 ])
+@tiny_stream
 def test_forward_matches_xla(V, E, F, params):
     rng = np.random.RandomState(0)
     s, r, w = _rand_graph(rng, V, E)
@@ -45,6 +56,7 @@ def test_forward_matches_xla(V, E, F, params):
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_stream
 def test_edge_order_shim_and_dynamic_weights():
     rng = np.random.RandomState(1)
     V, E, F = 64, 256, 12
@@ -63,6 +75,7 @@ def test_edge_order_shim_and_dynamic_weights():
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_stream
 def test_zero_weight_edges_dropped():
     rng = np.random.RandomState(2)
     V, E, F = 40, 120, 8
@@ -76,6 +89,7 @@ def test_zero_weight_edges_dropped():
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_stream
 def test_rectangular_bipartite():
     rng = np.random.RandomState(3)
     Vs, Vr, E, F = 90, 50, 300, 9
@@ -90,6 +104,7 @@ def test_rectangular_bipartite():
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_stream
 def test_gradients_match_xla():
     """dx (transpose spmm) and dw (SDDMM) — the reference's registered
     gradient pair (kgcn/bspmm_call.py:21-57)."""
@@ -125,6 +140,7 @@ def test_gradients_match_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+@tiny_stream
 def test_macro_budget_padding_is_noop():
     rng = np.random.RandomState(5)
     V, E, F = 60, 200, 10
@@ -140,6 +156,7 @@ def test_macro_budget_padding_is_noop():
         build_stream(s, r, V, tr_w=16, chunk=8, mc=2, wb=2, macro_budget=1)
 
 
+@tiny_stream
 def test_pytree_roundtrip_and_jit_arg():
     rng = np.random.RandomState(6)
     V, E, F = 32, 100, 6
@@ -160,6 +177,7 @@ def test_pytree_roundtrip_and_jit_arg():
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_stream
 def test_materialized_static_path():
     """Static-weight fast path: bf16 materialised one-hots (auto) — forward
     matches XLA to bf16 tolerance and dx flows through the transpose."""
@@ -189,6 +207,7 @@ def test_materialized_static_path():
                                rtol=1e-5, atol=1e-5)
 
 
+@tiny_stream
 def test_materialize_off():
     rng = np.random.RandomState(8)
     V, E = 40, 100
@@ -198,6 +217,7 @@ def test_materialize_off():
     assert ss.oh is None
 
 
+@tiny_stream
 def test_baked_stream_matches():
     rng = np.random.RandomState(9)
     V, E, F = 72, 300, 16
@@ -223,6 +243,7 @@ def test_baked_stream_matches():
 
 
 @pytest.mark.parametrize("model_name", ["gcn", "gin"])
+@tiny_stream
 def test_stream_backend_end_to_end_matches_xla(model_name):
     """spmm_backend="stream": the Batcher attaches StreamCOO structures
     (weights baked), GraphConv/GIN dispatch through them, and a short
@@ -273,6 +294,7 @@ def test_stream_backend_end_to_end_matches_xla(model_name):
                                    rtol=2e-4, atol=2e-5)
 
 
+@tiny_stream
 def test_stream_backend_kg_link_prediction():
     """The whole-graph KG engine (the stream kernel's target workload)
     trains under spmm_backend="stream" with a GCN encoder."""
@@ -321,7 +343,6 @@ def test_stream_backend_kg_link_prediction():
         set_dense_path(True)
 
 
-_ON_TPU = jax.default_backend() == "tpu"
 
 
 @pytest.mark.skipif(not _ON_TPU, reason=(
