@@ -175,9 +175,32 @@ def main(argv=None):
         cmd_train(config, fold=args.fold)
     elif args.mode == "train_cv":
         num_folds = int(config.get("num_folds", 5))
-        for fold in range(num_folds):
-            print(f"=== fold {fold} ===")
-            cmd_train(config, fold=fold)
+        # fold-parallel path (parallel/cv.py): the reaction CV protocol is
+        # the reference's canonical shell-parallel workload
+        # (script_cv/02run_fold.sh) — here all folds share one SPMD program
+        from kgcn_tpu.parallel.cv import (
+            FoldParallelCV, fold_parallel_enabled,
+        )
+
+        ds, info = _load(config)
+        folds = [split_fold(ds.num, f, num_folds) for f in range(num_folds)]
+        if fold_parallel_enabled(config, ds, info, num_folds):
+            from kgcn_tpu.data import Batcher
+
+            print(f"[fold_parallel] {num_folds} folds over the mesh")
+            cv = FoldParallelCV(config, info, ds, folds,
+                                model=_model(config, info))
+            results = cv.run()
+            for fold, (trainer, state, _fi) in enumerate(results):
+                print(f"=== fold {fold} ===")
+                vb = Batcher(ds.subset(folds[fold][1]), info,
+                             int(config["batch_size"]))
+                ev = trainer.evaluate(state, vb, "valid_")
+                _report(config, ev, "valid")
+        else:
+            for fold in range(num_folds):
+                print(f"=== fold {fold} ===")
+                cmd_train(config, fold=fold)
     else:
         cmd_infer(config)
 

@@ -91,8 +91,7 @@ class FoldParallelCV:
     """
 
     def __init__(self, config: Dict[str, Any], info, ds, folds,
-                 *, seed: Optional[int] = None):
-        from kgcn_tpu.models.registry import build_model
+                 *, seed: Optional[int] = None, model=None):
         from kgcn_tpu.runtime.resident import build_device_dataset
         from kgcn_tpu.runtime.train import Trainer
 
@@ -106,7 +105,11 @@ class FoldParallelCV:
         self.epochs = int(config.get("epoch", 50))
         self.task = config.get("task", "multitask_classification")
 
-        self.model = build_model(config["model.py"], info, config)
+        if model is None:
+            from kgcn_tpu.models.registry import build_model
+
+            model = build_model(config["model.py"], info, config)
+        self.model = model
         self.trainer = Trainer(self.model, config, info)
         self.dd = build_device_dataset(ds, info)
 

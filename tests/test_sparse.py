@@ -163,3 +163,50 @@ def test_sparse_gcn_trains_data_parallel(tmp_path):
     state, trainer, info, ev = cmd_train(config, fold=0)
     acc = float(np.asarray(ev["metrics"]["valid_accuracy"]))
     assert acc >= 0.75, f"sparse gcn DP acc={acc}"
+
+
+def test_sparse_train_cv_fold_parallel(tmp_path, capsys):
+    """kgcn-tpu-sparse train_cv takes the fold-parallel path on the mesh
+    (the reference's shell-parallel reaction CV protocol,
+    script_cv/02run_fold.sh, as one SPMD program) and reports every fold."""
+    from kgcn_tpu.cli.sparse import main as sparse_main
+
+    data = make_ring_dataset(num_pairs=30, seed=0)
+    y = np.argmax(data["label"], axis=1)
+    path = str(tmp_path / "train.tfrecords")
+    write_tfrecord(
+        path,
+        [
+            example_from_graph(
+                data["dense_adj"][i], data["feature"][i],
+                label=[int(y[i])], mask_label=[1],
+            )
+            for i in range(60)
+        ],
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg = {
+        "dataset": path,
+        "num_classes": 2,
+        "batch_size": 16,
+        "epoch": 6,
+        "learning_rate": 0.001,
+        "out_dims": [32, 32],
+        "dense_dim": 32,
+        "num_folds": 4,
+        "task": "classification",
+        "save_model_path": str(tmp_path / "model"),
+        "save_interval": 0,
+        "save_info_valid": str(tmp_path / "valid.json"),
+        "seed": 0,
+    }
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    sparse_main(["train_cv", "--config", str(cfg_path)])
+    out = capsys.readouterr().out
+    assert "[fold_parallel] 4 folds" in out
+    assert out.count("=== fold") == 4
+    assert os.path.exists(tmp_path / "valid.json")
+    # per-fold last checkpoints written like the sequential protocol
+    cks = [p for p in os.listdir(tmp_path / "model") if "last" in p]
+    assert len(cks) == 4, cks
