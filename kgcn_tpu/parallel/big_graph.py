@@ -39,11 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kgcn_tpu.nn.layers import glorot_uniform_nd, per_channel_glorot
 from kgcn_tpu.ops import segment
-from kgcn_tpu.parallel.edge_partition import (
-    allgather_spmm_local,
-    partition_edges,
-    ring_spmm_local,
-)
+from kgcn_tpu.parallel.edge_partition import partition_edges
 
 
 class BigGraphKGTrainer:
@@ -70,6 +66,10 @@ class BigGraphKGTrainer:
                  tx_shard_safe: bool = True):
         if encoder not in ("embedding", "gcn", "gin"):
             raise ValueError(f"unknown encoder {encoder!r}")
+        if strategy not in ("ring", "allgather"):
+            # a typo would otherwise silently select allgather — the
+            # O(V·F)-per-device path this module exists to avoid
+            raise ValueError(f"unknown halo strategy {strategy!r}")
         self.mesh, self.axis = mesh, axis
         self.D = mesh.shape[axis]
         self.num_nodes = int(num_nodes)
@@ -175,7 +175,9 @@ class BigGraphKGTrainer:
     def from_flax_variables(self, variables: dict) -> dict:
         """Import a single-device ``KGLinkPredictor`` parameter tree (for
         parity tests and for scaling up a model trained small)."""
-        if self.num_layers > 2:
+        if self.num_layers not in (0, 2):
+            # a 1-layer trainer would silently import conv1 only and drop
+            # conv2's weights
             raise ValueError(
                 f"KGLinkPredictor has exactly 2 conv layers; cannot import "
                 f"into a {self.num_layers}-layer trainer"
@@ -246,8 +248,17 @@ class BigGraphKGTrainer:
     # forward pieces (run INSIDE shard_map, on one device's block)
     # ------------------------------------------------------------------ #
     def _encode_local(self, embed_blk, theta, mask_blk, sl, rl, wl):
+        from kgcn_tpu.parallel.edge_partition import (
+            allgather_spmm_local_channels,
+            ring_spmm_local_channels,
+        )
+
+        # channel-STACKED halo exchange: one collective per hop for all C
+        # relation channels (per-channel loops would issue C·(D−1)
+        # ppermutes per layer; GIN additionally shares one x rotation)
         local = (
-            ring_spmm_local if self.strategy == "ring" else allgather_spmm_local
+            ring_spmm_local_channels if self.strategy == "ring"
+            else allgather_spmm_local_channels
         )
         x = embed_blk * mask_blk[:, None]
         for i in range(self.num_layers):
@@ -257,16 +268,10 @@ class BigGraphKGTrainer:
                     jnp.einsum("vf,cfo->cvo", x, theta[f"w{i}"])
                     + theta[f"b{i}"][:, None, :]
                 )
-                agg = sum(
-                    local(hw[c], sl[c], rl[c], wl[c], self.axis)
-                    for c in range(self.channels)
-                )
+                agg = local(hw, sl, rl, wl, self.axis)
             else:  # gin: Σ_c (ε_c X + A_c X)  (kgcn/layers.py:400-475)
                 eps = theta[f"eps{i}"]
-                agg = sum(
-                    eps[c] * x + local(x, sl[c], rl[c], wl[c], self.axis)
-                    for c in range(self.channels)
-                )
+                agg = jnp.sum(eps) * x + local(x, sl, rl, wl, self.axis)
             x = jnp.tanh(agg)
         return x
 
@@ -373,6 +378,7 @@ class BigGraphKGTrainer:
     def gradients(self, state: dict, label_list: np.ndarray):
         """Mean-loss gradients {'embed', 'theta'} — the exact tensors the
         optimizer consumes (parity/debugging hook)."""
+        assert self._edges is not None, "call partition_graph first"
         ll, lv, n = self._shard_labels(label_list)
         if getattr(self, "_grads_fn", None) is None:
             self._grads_fn = jax.jit(self._sharded_grads())
@@ -414,13 +420,14 @@ class BigGraphKGTrainer:
 
         return ev
 
-    def _shard_labels(self, label_list: np.ndarray):
-        """Pad a [L, 6] triple list to D equal shards → ([L_pad, 6], [L_pad])."""
-        ll = np.asarray(label_list, np.int32)
+    def _shard_labels(self, label_list: np.ndarray, width: int = 6):
+        """Pad a [L, width] triple list to D equal shards →
+        ([L_pad, width] sharded, [L_pad] validity sharded, L)."""
+        ll = np.asarray(label_list, np.int32)[:, :width]
         n = len(ll)
         per = ((n + self.D - 1) // self.D + 0) if n else 1
         l_pad = per * self.D
-        out = np.zeros((l_pad, 6), np.int32)
+        out = np.zeros((l_pad, width), np.int32)
         out[:n] = ll
         lv = (np.arange(l_pad) < n).astype(np.float32)
         shard = NamedSharding(self.mesh, P(self.axis))
@@ -453,6 +460,7 @@ class BigGraphKGTrainer:
         }
 
     def evaluate(self, state: dict, label_list: np.ndarray) -> dict:
+        assert self._edges is not None, "call partition_graph first"
         ll, lv, n = self._shard_labels(label_list)
         if self._eval_fn is None:
             self._eval_fn = self._build_eval()
@@ -467,6 +475,7 @@ class BigGraphKGTrainer:
 
     def node_embeddings(self, state: dict) -> np.ndarray:
         """Gathered [V, dim] final embeddings (for MRR / hits@k / export)."""
+        assert self._edges is not None, "call partition_graph first"
         axis = self.axis
 
         if self._embed_fn is None:
@@ -541,15 +550,7 @@ class BigGraphKGTrainer:
                   "per-step path instead of the one-dispatch resident run")
             return self.fit(state, label_list, epochs=epochs,
                             pair_mode=pair_mode, seed=seed)
-        ll = np.asarray(label_list, np.int32)[:, :3]
-        n = len(ll)
-        per = (n + self.D - 1) // self.D
-        pad = np.zeros((per * self.D, 3), np.int32)
-        pad[:n] = ll
-        lv = (np.arange(per * self.D) < n).astype(np.float32)
-        shard = NamedSharding(self.mesh, P(self.axis))
-        ll3 = jax.device_put(jnp.asarray(pad), shard)
-        lvd = jax.device_put(jnp.asarray(lv), shard)
+        ll3, lvd, n = self._shard_labels(label_list, width=3)
 
         axis, tx, mode = self.axis, self.tx, pair_mode
         inv_n = 1.0 / max(n, 1)
@@ -595,7 +596,10 @@ class BigGraphKGTrainer:
             check_vma=False,
         )
 
-        @jax.jit
+        # donate params+opt_state: the whole-run dispatch would otherwise
+        # hold input AND output copies of the [V, dim] table and both Adam
+        # moment tables live simultaneously (2× peak HBM)
+        @partial(jax.jit, donate_argnums=(0, 1))
         def run(params, opt_state, keys):
             return sharded(
                 params["embed"], params["theta"], opt_state, self._mask,
@@ -671,6 +675,14 @@ class BigGraphKGTrainer:
         ll = np.asarray(label_list, np.int32)
         if ll.shape[1] == 3:
             ll = np.concatenate([ll, ll], axis=1)
+        if validation_list is not None:
+            # same 3-column convenience as the train list — _shard_labels
+            # consumes [L, 6]
+            validation_list = np.asarray(validation_list, np.int32)
+            if validation_list.shape[1] == 3:
+                validation_list = np.concatenate(
+                    [validation_list, validation_list], axis=1
+                )
         L = int(label_batch_size) if label_batch_size else len(ll)
         history = []
         for epoch in range(epochs):

@@ -63,6 +63,14 @@ def partition_edges(senders, receivers, weights, num_nodes: int,
     w = np.asarray(weights)
     valid = w != 0
     s, r, w = s[valid], r[valid], w[valid]
+    if len(s) and (int(s.max()) >= num_nodes or int(r.max()) >= num_nodes
+                   or int(s.min()) < 0 or int(r.min()) < 0):
+        # out-of-range ids would fall outside the D*D group table and
+        # vanish silently from the partition
+        raise ValueError(
+            f"edge endpoints must lie in [0, {num_nodes}); got "
+            f"senders [{s.min()}, {s.max()}], receivers [{r.min()}, {r.max()}]"
+        )
     rb = r // v_loc
     sb = s // v_loc
     off = (rb - sb) % D
@@ -110,6 +118,51 @@ def ring_spmm_local(x_blk, s_d, r_d, w_d, axis: str):
         acc = acc + jax.ops.segment_sum(gathered, r_d[o], num_segments=v_loc)
         if o + 1 < D:
             x_rot = jax.lax.ppermute(x_rot, axis, perm)
+    return acc
+
+
+def ring_spmm_local_channels(xs, s_cd, r_cd, w_cd, axis: str):
+    """Channel-summed ring aggregation with ONE ppermute per hop.
+
+    ``xs``: [C, v_loc, F] per-channel inputs (rotated as one stack) or
+    [v_loc, F] shared input (GIN — rotated once, C× fewer halo bytes than
+    per-channel rings).  ``s_cd/r_cd/w_cd``: [C, D, E].  Returns the
+    channel SUM [v_loc, F] — per-channel ring loops would issue C·(D−1)
+    collectives per layer for no algorithmic reason (multi-relation KGs).
+    """
+    C, D, _ = s_cd.shape
+    shared = xs.ndim == 2
+    v_loc = xs.shape[-2]
+    perm = [(i, (i + 1) % D) for i in range(D)]
+    rot = xs
+    acc = jnp.zeros((v_loc, xs.shape[-1]), xs.dtype)
+    for o in range(D):
+        for c in range(C):
+            xc = rot if shared else rot[c]
+            g = xc[s_cd[c, o]] * w_cd[c, o][:, None].astype(xs.dtype)
+            acc = acc + jax.ops.segment_sum(g, r_cd[c, o],
+                                            num_segments=v_loc)
+        if o + 1 < D:
+            rot = jax.lax.ppermute(rot, axis, perm)
+    return acc
+
+
+def allgather_spmm_local_channels(xs, s_cd, r_cd, w_cd, axis: str):
+    """Channel-summed all-gather aggregation: one collective for the whole
+    stack.  Same contract as :func:`ring_spmm_local_channels`."""
+    C, D, _ = s_cd.shape
+    shared = xs.ndim == 2
+    v_loc = xs.shape[-2]
+    full = jax.lax.all_gather(xs, axis)  # [D, (C,) v_loc, F]
+    d = jax.lax.axis_index(axis)
+    acc = jnp.zeros((v_loc, xs.shape[-1]), xs.dtype)
+    for o in range(D):
+        blk = full[(d - o) % D]
+        for c in range(C):
+            xc = blk if shared else blk[c]
+            g = xc[s_cd[c, o]] * w_cd[c, o][:, None].astype(xs.dtype)
+            acc = acc + jax.ops.segment_sum(g, r_cd[c, o],
+                                            num_segments=v_loc)
     return acc
 
 
@@ -187,5 +240,15 @@ def spmm_edge_partitioned(part: PartitionedEdges, x, mesh: Mesh,
     ``x``: [V, F] sharded row-blocks (or replicated host array; the shard_map
     in_spec slices it).  Returns [V, F] with the same block sharding.
     """
+    if strategy not in ("ring", "allgather"):
+        raise ValueError(f"unknown halo strategy {strategy!r}")
+    D = part.senders_local.shape[0]
+    if mesh.shape[axis] != D:
+        # a mismatch would shard the [D, D, E] tables wrongly and return
+        # silently wrong aggregation (each device reads the wrong groups)
+        raise ValueError(
+            f"partition built for {D} devices but mesh axis {axis!r} has "
+            f"{mesh.shape[axis]}"
+        )
     sl, rl, wl = _device_arrays(part)
     return _compiled_spmm(mesh, axis, strategy)(x, sl, rl, wl)
