@@ -356,97 +356,6 @@ def gather_batch(dd: DeviceDataset, idx: jnp.ndarray, valid: jnp.ndarray) -> Bat
     )
 
 
-class ResidentVAEBatcher:
-    """Resident batcher for the VAE engine: graphs gathered on device,
-    reparameterisation ε generated ON DEVICE per scanned step (replacing the
-    host-fed epsilon placeholder, reference kgcn/feed_index.py:107-109) —
-    zero per-step transfers via the Trainer's generic scan protocol."""
-
-    def __init__(self, ds: Dataset, info: DatasetInfo, batch_size: int,
-                 latent_dim: int, *, seed: int = 0):
-        from kgcn_tpu.data.batcher import epoch_permutation  # noqa: F401
-
-        self.ds = ds
-        self.info = info
-        self.batch_size = int(batch_size)
-        self.latent_dim = int(latent_dim)
-        self.seed = int(seed)
-        self._rng = np.random.RandomState(seed)
-        self._epoch_counter = [0]
-        self.device_data = build_device_dataset(ds, info)
-        self.max_nodes = self.device_data.max_nodes
-        self._gather = jax.jit(gather_batch)
-
-    @property
-    def num_batches(self) -> int:
-        return (self.ds.num + self.batch_size - 1) // self.batch_size
-
-    @property
-    def valid_per_epoch(self) -> int:
-        return self.ds.num
-
-    def batch_valid_counts(self):
-        n, bs = self.ds.num, self.batch_size
-        return [min(bs, n - s) for s in range(0, n, bs)]
-
-    def epoch_scan_inputs(self, shuffle: bool = True, epoch=None):
-        from kgcn_tpu.data.batcher import epoch_permutation
-
-        idx = epoch_permutation(
-            self.ds.num, self.seed, epoch if shuffle else None,
-            rng=self._rng if shuffle else None,
-        )
-        B, S = self.batch_size, self.num_batches
-        pad = S * B - len(idx)
-        sched = np.concatenate([idx, np.zeros(pad, idx.dtype)]).astype(np.int32)
-        valid = (np.arange(S * B) < len(idx)).astype(np.float32)
-        e = epoch if epoch is not None else self._epoch_counter[0]
-        self._epoch_counter[0] += 1
-        keys = jax.random.split(
-            jax.random.fold_in(jax.random.PRNGKey(self.seed), e), S
-        )
-        # ε template carries the static shape into make_scan_batch
-        template = jnp.zeros(
-            (B, self.max_nodes, self.latent_dim), jnp.float32
-        )
-        return (self.device_data, template), (
-            jnp.asarray(sched.reshape(S, B)),
-            jnp.asarray(valid.reshape(S, B)),
-            keys,
-        )
-
-    @staticmethod
-    def make_scan_batch(const, x) -> Batch:
-        dd, template = const
-        idxb, vb, key = x
-        batch = gather_batch(dd, idxb, vb)
-        eps = jax.random.normal(key, template.shape, template.dtype)
-        return batch.replace(rng_normal=eps)
-
-    def make_batch(self, idx: np.ndarray) -> Batch:
-        idx = np.asarray(idx)
-        B = self.batch_size
-        pad = B - len(idx)
-        sched = np.concatenate([idx, np.zeros(pad, np.int64)]).astype(np.int32)
-        valid = (np.arange(B) < len(idx)).astype(np.float32)
-        batch = self._gather(
-            self.device_data, jnp.asarray(sched), jnp.asarray(valid)
-        )
-        eps = jnp.asarray(
-            self._rng.normal(
-                size=(B, self.max_nodes, self.latent_dim)
-            ).astype(np.float32)
-        )
-        return batch.replace(rng_normal=eps)
-
-    def batches(self, shuffle: bool = True):
-        idx = np.arange(self.ds.num)
-        if shuffle:
-            self._rng.shuffle(idx)
-        for start in range(0, len(idx), self.batch_size):
-            yield self.make_batch(idx[start : start + self.batch_size])
-
-
 class ResidentBatcher:
     """Batcher-compatible facade over a DeviceDataset.
 
@@ -517,3 +426,62 @@ class ResidentBatcher:
         return self._gather(
             self.device_data, jnp.asarray(sched), jnp.asarray(valid)
         )
+
+
+class ResidentVAEBatcher(ResidentBatcher):
+    """Resident batcher for the VAE engine: graphs gathered on device,
+    reparameterisation ε generated ON DEVICE per scanned step (replacing the
+    host-fed epsilon placeholder, reference kgcn/feed_index.py:107-109) —
+    zero per-step transfers via the Trainer's generic scan protocol.
+
+    Derives all batch accounting and the schedule/padding law from
+    :class:`ResidentBatcher`; only the ε plumbing lives here."""
+
+    def __init__(self, ds: Dataset, info: DatasetInfo, batch_size: int,
+                 latent_dim: int, *, seed: int = 0):
+        super().__init__(ds, info, batch_size, seed=seed)
+        self.latent_dim = int(latent_dim)
+        self._epoch_counter = [0]
+
+    def epoch_scan_inputs(self, shuffle: bool = True, epoch=None):
+        sched, valid = self.epoch_schedule(shuffle, epoch=epoch)
+        S = sched.shape[0]
+        e = epoch if epoch is not None else self._epoch_counter[0]
+        self._epoch_counter[0] += 1
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), e), S
+        )
+        # ε template carries the static shape into make_scan_batch
+        template = jnp.zeros(
+            (self.batch_size, self.max_nodes, self.latent_dim), jnp.float32
+        )
+        return (self.device_data, template), (
+            jnp.asarray(sched), jnp.asarray(valid), keys,
+        )
+
+    @staticmethod
+    def make_scan_batch(const, x) -> Batch:
+        dd, template = const
+        idxb, vb, key = x
+        batch = gather_batch(dd, idxb, vb)
+        eps = jax.random.normal(key, template.shape, template.dtype)
+        return batch.replace(rng_normal=eps)
+
+    def make_batch(self, idx: np.ndarray) -> Batch:
+        batch = super().make_batch(idx)
+        eps = jnp.asarray(
+            self._rng.normal(
+                size=(self.batch_size, self.max_nodes, self.latent_dim)
+            ).astype(np.float32)
+        )
+        return batch.replace(rng_normal=eps)
+
+    def batches(self, shuffle: bool = True, epoch=None):
+        # keeps the legacy draw order (shuffle then per-batch ε from the
+        # same host rng) so streaming/resident VAE trajectories stay
+        # comparable
+        idx = np.arange(self.ds.num)
+        if shuffle:
+            self._rng.shuffle(idx)
+        for start in range(0, len(idx), self.batch_size):
+            yield self.make_batch(idx[start : start + self.batch_size])

@@ -98,9 +98,31 @@ class CachedBatches:
         return self._batcher.batch_valid_counts()
 
     def batches(self, shuffle: bool = False):
+        assert not shuffle, (
+            "CachedBatches replays a fixed shuffle=False cache — it must "
+            "never stand in for a training batcher"
+        )
         if self._cache is None:
             self._cache = list(self._batcher.batches(shuffle=False))
         return iter(self._cache)
+
+
+def _cache_fits(batcher) -> bool:
+    """Gate CachedBatches on the resident HBM budget: pinning a large
+    validation split's device batches for the whole fit would otherwise
+    evict working memory on datasets the resident path itself declines."""
+    ds = getattr(batcher, "ds", None)
+    if ds is None or getattr(ds, "adjs", None) is None:
+        return True  # non-dataset batchers: small by construction
+    try:
+        from kgcn_tpu.runtime.resident import (
+            DEFAULT_RESIDENT_BUDGET, estimate_bytes,
+        )
+
+        max_nodes = int(getattr(batcher, "max_nodes", 0) or 0) or 1
+        return estimate_bytes(ds, max_nodes) <= DEFAULT_RESIDENT_BUDGET
+    except Exception:
+        return True
 
 
 _CHANNEL_WARM = False
@@ -175,13 +197,14 @@ class Trainer:
         )
 
     # ---- compiled steps ------------------------------------------------
-    def _make_train_step(self):
-        model, tx = self.model, self.tx
+    def _loss_fn(self):
+        """The one training loss closure every runner shares (per-step jit,
+        resident epoch scan, generic scan) — a fix here reaches all three."""
+        model = self.model
 
         def loss_fn(params, batch_stats, batch, rng):
-            variables = {"params": params, "batch_stats": batch_stats}
             out, updates = model.apply(
-                variables,
+                {"params": params, "batch_stats": batch_stats},
                 batch,
                 train=True,
                 rngs={"dropout": rng},
@@ -189,21 +212,29 @@ class Trainer:
             )
             return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
 
+        return loss_fn
+
+    def _apply_step(self, state, batch, loss_fn):
+        """grad → optimizer update → new TrainState (shared step body)."""
+        rng, sub = jax.random.split(state.rng)
+        grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, sub
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+            rng=rng,
+        ), out
+
+    def _make_train_step(self):
+        loss_fn = self._loss_fn()
+
         def step(state: TrainState, batch: Batch):
             batch = self._cast(batch)
-            rng, sub = jax.random.split(state.rng)
-            grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats, batch, sub
-            )
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                params=new_params,
-                batch_stats=new_stats,
-                opt_state=new_opt,
-                step=state.step + 1,
-                rng=rng,
-            )
+            new_state, out = self._apply_step(state, batch, loss_fn)
             return new_state, out.cost_sum, out.metrics
 
         return jax.jit(step, donate_argnums=(0,))
@@ -238,34 +269,13 @@ class Trainer:
         dispatch per epoch (see kgcn_tpu/runtime/resident.py)."""
         from kgcn_tpu.runtime.resident import gather_batch
 
-        model, tx = self.model, self.tx
-
-        def loss_fn(params, batch_stats, batch, rng):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                batch,
-                train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"],
-            )
-            return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
+        loss_fn = self._loss_fn()
 
         def epoch(state: TrainState, dd, sched, valid):
             def body(st, sv):
                 idxb, vb = sv
                 batch = self._cast(gather_batch(dd, idxb, vb))
-                rng, sub = jax.random.split(st.rng)
-                grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
-                    st.params, st.batch_stats, batch, sub
-                )
-                updates, new_opt = tx.update(grads, st.opt_state, st.params)
-                new_st = st.replace(
-                    params=optax.apply_updates(st.params, updates),
-                    batch_stats=new_stats,
-                    opt_state=new_opt,
-                    step=st.step + 1,
-                    rng=rng,
-                )
+                new_st, out = self._apply_step(st, batch, loss_fn)
                 return new_st, (out.cost_sum, out.metrics)
 
             state, (costs, metrics) = jax.lax.scan(body, state, (sched, valid))
@@ -293,33 +303,12 @@ class Trainer:
         (constant batch, per-step xs) protocol (``epoch_scan_inputs`` /
         ``make_scan_batch``) — e.g. KG whole-graph training where only the
         label slice varies per step."""
-        model, tx = self.model, self.tx
-
-        def loss_fn(params, batch_stats, batch, rng):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                batch,
-                train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"],
-            )
-            return out.cost_opt, (out, updates.get("batch_stats", batch_stats))
+        loss_fn = self._loss_fn()
 
         def epoch(state: TrainState, const_batch, xs):
             def body(st, x):
                 batch = self._cast(make_batch_fn(const_batch, x))
-                rng, sub = jax.random.split(st.rng)
-                grads, (out, new_stats) = jax.grad(loss_fn, has_aux=True)(
-                    st.params, st.batch_stats, batch, sub
-                )
-                updates, new_opt = tx.update(grads, st.opt_state, st.params)
-                new_st = st.replace(
-                    params=optax.apply_updates(st.params, updates),
-                    batch_stats=new_stats,
-                    opt_state=new_opt,
-                    step=st.step + 1,
-                    rng=rng,
-                )
+                new_st, out = self._apply_step(st, batch, loss_fn)
                 return new_st, (out.cost_sum, out.metrics)
 
             state, (costs, metrics) = jax.lax.scan(body, state, xs)
@@ -507,9 +496,15 @@ class Trainer:
         else:
             es = EarlyStopping(patience, task)
         if valid_batcher is not None and hasattr(valid_batcher, "batch_valid_counts"):
-            valid_batcher = CachedBatches(valid_batcher)
-        best_cost = np.inf
+            if _cache_fits(valid_batcher):
+                valid_batcher = CachedBatches(valid_batcher)
+        # resume carries the checkpointed best validation cost forward so a
+        # resumed run cannot overwrite a genuinely better best.ckpt with a
+        # worse model (restore() stashes it)
+        best_cost = float(getattr(self, "_restored_best_cost", np.inf))
+        self._restored_best_cost = np.inf
         best_epoch = -1
+        aborted = False
         history: List[Dict[str, Any]] = []
         t0 = time.time()
 
@@ -522,6 +517,7 @@ class Trainer:
             )
             if not np.isfinite(train_cost):
                 log(f"[abort] non-finite training cost at epoch {epoch}")
+                aborted = True
                 break
             last_epoch = epoch
             train_agg = aggregate_metrics(train_metrics, n_train, task, "training_")
@@ -579,14 +575,25 @@ class Trainer:
                         ev["metrics"], "validation_each_accuracy"
                     )
             s_bit = f" ([SAVE] {save_path})" if save_path else ""
+            # update the early-stopping counter BEFORE logging so the
+            # printed count reflects this epoch's outcome (matches the
+            # reference's ordering, kgcn/core.py)
+            stop = valid_cost is not None and es.update(valid_cost)
             log(
                 f"epoch {epoch}, training cost {train_cost:.6g}{acc_bit}"
                 f"{v_bit} (count={es.count}){s_bit}"
             )
-
-            if valid_cost is not None and es.update(valid_cost):
+            if stop:
                 log("[stop] by validation")
                 break
+
+        # the 'last' checkpoint records the FINAL training state at the last
+        # completed epoch — captured BEFORE the best-restore below, so a
+        # resume continues the true trajectory (best-epoch params paired
+        # with final opt_state never existed in training).  After a NaN
+        # abort the final state is poisoned: skip the save (any interval/
+        # best checkpoints on disk stay usable) unless a finite best exists.
+        last_tree = self.state_tree(state, last_epoch, best_cost)
 
         # restore best before final eval (reference: kgcn/core.py:340-356)
         if best_epoch >= 0:
@@ -598,12 +605,18 @@ class Trainer:
                 params=tree["params"], batch_stats=tree["batch_stats"]
             )
             log(f"[restore] best epoch {best_epoch} (cost {best_cost:.6g})")
-        # record the ACTUAL last completed epoch: after an early stop or NaN
-        # abort a retrain must resume from there, not skip past the end
-        ckpt.save_checkpoint(
-            ckpt.ckpt_name(model_dir, "last", fold),
-            self.state_tree(state, last_epoch, best_cost),
-        )
+            if aborted:
+                # final opt_state/rng are NaN-poisoned — the best
+                # checkpoint's FULL (consistent, finite) tree is the only
+                # resumable state
+                last_tree = tree
+        if aborted and best_epoch < 0:
+            log("[abort] skipping the 'last' checkpoint (non-finite state); "
+                "resume from an interval/best checkpoint instead")
+        else:
+            ckpt.save_checkpoint(
+                ckpt.ckpt_name(model_dir, "last", fold), last_tree
+            )
         return state, {
             "history": history,
             "best_epoch": best_epoch,
@@ -624,6 +637,11 @@ class Trainer:
 
     def restore(self, state: TrainState, path: str) -> TrainState:
         tree = ckpt.load_checkpoint(path, self.state_tree(state, 0, 0.0))
+        # carry the checkpointed best validation cost into the next fit()
+        # so a resumed run cannot overwrite a better best.ckpt
+        self._restored_best_cost = float(
+            np.asarray(tree.get("best_cost", np.inf))
+        )
         return state.replace(
             params=tree["params"],
             batch_stats=tree["batch_stats"],

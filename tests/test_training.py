@@ -258,3 +258,49 @@ def test_multitask_early_stopping_prints_per_task(tmp_path):
     state, _ = trainer.fit(state, tb, vb, log=lines.append)
     epoch_lines = [l for l in lines if l.startswith("epoch ")]
     assert epoch_lines and all("each acc=[" in l for l in epoch_lines), lines
+
+
+def test_resume_preserves_better_best_checkpoint(tmp_path):
+    """Review r4: a resumed run must not overwrite a better best.ckpt —
+    restore() carries the checkpointed best validation cost into fit()."""
+    import jax
+    import joblib
+
+    from kgcn_tpu.cli.main import _fit_once
+    from kgcn_tpu.data import build_dataset, split_dataset
+    from kgcn_tpu.data.synthetic import make_ring_dataset
+    from kgcn_tpu.runtime import checkpoint as ckpt
+    from kgcn_tpu.runtime.config import default_config
+
+    cfg = default_config()
+    cfg.update({
+        "task": "classification", "learning_rate": 1e-2, "batch_size": 16,
+        "epoch": 8, "model.py": "gcn", "seed": 0, "save_interval": 0,
+        "save_model_path": str(tmp_path / "m"),
+    })
+    ds, info = build_dataset(make_ring_dataset(num_pairs=30, seed=0), cfg)
+    tr, va, _, _ = split_dataset(ds, 0.3, seed=0)
+    trainer, state, fit_info, _ = _fit_once(cfg, tr, va, info)
+    best1 = float(fit_info["best_validation_cost"])
+    tree1 = ckpt.load_checkpoint(
+        ckpt.ckpt_name(str(tmp_path / "m"), "best"),
+        trainer.state_tree(state, 0, 0.0),
+    )
+    p1 = jax.tree_util.tree_leaves(tree1["params"])[0].copy()
+
+    # resume with a huge LR so the resumed epochs only get WORSE
+    cfg2 = dict(cfg, epoch=10, learning_rate=5.0,
+                retrain=ckpt.ckpt_name(str(tmp_path / "m"), "last"))
+    _fit_once(cfg2, tr, va, info)
+    tree2 = ckpt.load_checkpoint(
+        ckpt.ckpt_name(str(tmp_path / "m"), "best"),
+        trainer.state_tree(state, 0, 0.0),
+    )
+    best2 = float(np.asarray(tree2["best_cost"]))
+    p2 = jax.tree_util.tree_leaves(tree2["params"])[0]
+    # either the resumed run genuinely improved (cost <= best1) or the old
+    # best checkpoint survived untouched
+    assert best2 <= best1 + 1e-6 or np.array_equal(np.asarray(p1),
+                                                   np.asarray(p2)), (
+        best1, best2,
+    )
