@@ -76,11 +76,17 @@ def render(path: str, outdir: str | None = None) -> None:
     os.makedirs(outdir, exist_ok=True)
     base = os.path.splitext(os.path.basename(path))[0]
 
+    def _2d(a):
+        a = np.squeeze(np.asarray(a))
+        # multi-channel dumps carry [C, N, N]; the heatmap shows the
+        # channel sum (per-channel data stays in the jbl)
+        return a.sum(axis=0) if a.ndim == 3 else a
+
     if "adjs" in data and data["adjs"] is not None:
-        _heatmap(np.squeeze(data["adjs"]), "adjacency",
+        _heatmap(_2d(data["adjs"]), "adjacency",
                  os.path.join(outdir, f"{base}_adjs.png"), symmetric=False)
     if "adjs_IG" in data:
-        _heatmap(np.squeeze(data["adjs_IG"]), "adjacency IG",
+        _heatmap(_2d(data["adjs_IG"]), "adjacency IG",
                  os.path.join(outdir, f"{base}_adjs_IG.png"))
     if "features" in data and data["features"] is not None:
         _heatmap(np.squeeze(data["features"]), "features",

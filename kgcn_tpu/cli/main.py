@@ -515,7 +515,9 @@ def cmd_infer_kg(config, ds, info) -> Dict[str, Any]:
     trainer = Trainer(model, config, info)
     kb = KGBatcher(ds, info, label_batch_size=config.get("label_batch_size"),
                    seed=0, test=True)
-    batch = next(kb.batches(shuffle=False))
+    # init_batch: one shape-complete carrier — batches() would materialise
+    # the whole epoch's label slices just to grab the graph
+    batch = kb.init_batch()
     state = trainer.init_state(batch, seed=0)
     load_path = config.get("load_model") or os.path.join(
         config.get("save_model_path", "model"), "model.last.ckpt"
@@ -529,7 +531,11 @@ def cmd_infer_kg(config, ds, info) -> Dict[str, Any]:
     scores = np.asarray(
         model.apply(variables, batch, jax.numpy.asarray(tails),
                     jax.numpy.asarray(rels), method=model.left_prediction)
-    )  # [K, V]: score of every entity as head
+    )  # [K, V_padded]: score of every entity as head
+    # the node axis is lane-padded past the true entity count; phantom rows
+    # carry zeroed embeddings (score exactly 0) and would outrank any
+    # negatively-scored true head — rank over real entities only
+    scores = scores[:, : int(info.all_node_num)]
     true_scores = scores[np.arange(len(heads)), heads]
     ranks = (scores > true_scores[:, None]).sum(axis=1) + 1
     result = {

@@ -37,6 +37,7 @@ class Batch:
     pad_mask: Optional[jnp.ndarray] = None  # [B] 1.0 = real example
     rng_normal: Optional[jnp.ndarray] = None  # ε for VAE reparameterisation
     label_list: Optional[jnp.ndarray] = None  # [B, L, 6] KG preference triples
+    label_valid: Optional[jnp.ndarray] = None  # [B, L] 1.0 = real pair (0 = wrap pad)
 
     @property
     def num_valid(self) -> jnp.ndarray:

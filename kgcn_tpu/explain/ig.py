@@ -251,7 +251,9 @@ def edge_ig_to_dense(graph, ig_edges: np.ndarray) -> np.ndarray:
     for c in range(C):
         k = int(ne[c])
         b = r[c, :k] // N
-        out[c, b, r[c, :k] % N, s[c, :k] % N] += ig_edges[c, :k]
+        # np.add.at: fancy-index += would drop duplicate (r, s) pairs
+        # (multigraphs / duplicate KG triples)
+        np.add.at(out[c], (b, r[c, :k] % N, s[c, :k] % N), ig_edges[c, :k])
     return out
 
 
@@ -284,6 +286,14 @@ def run_visualization(config) -> None:
         target = "max"     # it selects THIS path, not an IG target mode
     num = int(config.get("visualize_num", ds.num) or ds.num)
     steps = int(config.get("ig_divide_number", 100))
+    # ig | grad | grad_prod | smooth_grad | smooth_ig (module docstring)
+    method = str(config.get("visualize_method", "ig"))
+    if ds.features is None:
+        raise ValueError(
+            "IG visualization needs dense node features; embedding-mode "
+            "graphs (with_node_embedding / KG) use the kg_ig visualizer "
+            "(task: link_prediction routes there automatically)"
+        )
 
     apply_fn = jax.tree_util.Partial(model.apply)
     for i in range(min(num, ds.num)):
@@ -292,6 +302,11 @@ def run_visualization(config) -> None:
         # kgcn/visualization.py:497-530): correct/uncorrect filter samples by
         # predicted-vs-true class; 'all' loops every class; int = class index
         ig_target, label_index = target, None
+        if isinstance(target, (int, np.integer)) or (
+            isinstance(target, str) and target.isdigit()
+        ):
+            # reference class-index mode (ig_label_target = int)
+            ig_target, label_index = "index", int(target)
         if target in ("correct", "uncorrect", "all"):
             out = apply_fn(variables, batch, train=False)
             pred = np.asarray(out.prediction)
@@ -306,25 +321,26 @@ def run_visualization(config) -> None:
                 for cls in range(pred2.shape[-1]):
                     igs, check = _compute_igs(
                         apply_fn, model, variables, batch, steps,
-                        "index", cls,
+                        "index", cls, method,
                     )
                     _dump_ig(outdir, i, f"class{cls}", batch, igs, check, info)
                 continue
             ig_target, label_index = "index", pred_cls
         igs, check = _compute_igs(
             apply_fn, model, variables, batch, steps, ig_target, label_index,
+            method,
         )
-        _dump_ig(outdir, i, target, batch, igs, check, info)
+        _dump_ig(outdir, i, str(target), batch, igs, check, info)
 
 
 def _compute_igs(apply_fn, model, variables, batch, steps, target,
-                 label_index):
+                 label_index, method="ig"):
     """All modality IGs for one sample — per-input IG plus the
     embedded-layer IG for sequence models (every target mode, including the
     per-class 'all' loop)."""
     igs, check = integrated_gradients(
         apply_fn, variables, batch, steps=steps, target=target,
-        label_index=label_index,
+        label_index=label_index, method=method,
     )
     if batch.sequences is not None and hasattr(model, "embedding"):
         emb, emb_ig, emb_check = embedded_layer_ig(
@@ -338,6 +354,11 @@ def _compute_igs(apply_fn, model, variables, batch, steps, target,
     return igs, check
 
 
+def _squeeze_c(dense):
+    """[C, N, N] → [N, N] for the common single-channel case."""
+    return dense[0] if dense.shape[0] == 1 else dense
+
+
 def _dump_ig(outdir, i, tag, batch, igs, check, info) -> None:
     import joblib
 
@@ -346,8 +367,10 @@ def _dump_ig(outdir, i, tag, batch, igs, check, info) -> None:
     out = {
         "features": np.asarray(g.nodes).reshape(N, -1),
         "features_IG": igs["features_IG"].reshape(N, -1),
-        "adjs": edge_ig_to_dense(g, np.asarray(g.edge_weights))[:, 0][0],
-        "adjs_IG": edge_ig_to_dense(g, igs["adjs_IG"])[:, 0][0],
+        # [C, N, N] (channel 0 only would drop multi-relation attributions);
+        # single-channel datasets keep the legacy [N, N] shape
+        "adjs": _squeeze_c(edge_ig_to_dense(g, np.asarray(g.edge_weights))[:, 0]),
+        "adjs_IG": _squeeze_c(edge_ig_to_dense(g, igs["adjs_IG"])[:, 0]),
         **check,
     }
     if "vector_modal_IG" in igs:

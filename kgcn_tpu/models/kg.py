@@ -104,13 +104,19 @@ class KGLinkPredictor(nn.Module):
         # the backward pass once s ≳ 88 in float32 (exp overflow → -inf/inf)
         score = s2 - s1 + self.gamma
         cost = jax.nn.softplus(score)
+        # wrap-padded slice rows (KGBatcher pads the last slice cyclically)
+        # must not be double-counted in gradients or metrics
+        lv = (batch.label_valid[0] if batch.label_valid is not None
+              else jnp.ones((ll.shape[0],), jnp.float32))
+        cost = cost * lv
+        n = jnp.maximum(jnp.sum(lv), 1.0)
         metrics = {
-            "correct_count": jnp.sum((s1 > s2).astype(jnp.float32)),
-            "count": jnp.asarray(ll.shape[0], jnp.float32),
+            "correct_count": jnp.sum((s1 > s2).astype(jnp.float32) * lv),
+            "count": jnp.sum(lv),
         }
         return ModelOutput(
             prediction=z[None],  # [1, V, dim] node embeddings
-            cost_opt=jnp.mean(cost),
+            cost_opt=jnp.sum(cost) / n,
             cost_sum=jnp.sum(cost),
             metrics=metrics,
         )
@@ -173,10 +179,11 @@ class KGBatcher:
         if shuffle:
             self._rng.shuffle(order)
         L = self.label_batch_size
-        slices = []
+        slices, valids = [], []
         for start in range(0, self.num_labels, L):
             idx = order[start : start + L]
-            if len(idx) < L:  # pad to static shape by cyclic wrapping
+            n_real = len(idx)
+            if n_real < L:  # pad to static shape by cyclic wrapping
                 # (np.resize repeats idx however large the shortfall —
                 # a single concatenate falls short when L > 2·num_labels)
                 idx = np.resize(idx, L)
@@ -184,7 +191,8 @@ class KGBatcher:
             if not self.test:
                 ll = sample_negatives(ll, self.all_nodes, self._rng, self.pair_mode)
             slices.append(ll)
-        return np.stack(slices)
+            valids.append((np.arange(L) < n_real).astype(np.float32))
+        return np.stack(slices), np.stack(valids)
 
     def init_batch(self) -> Batch:
         """A shape-complete batch for ``Trainer.init_state`` — the first
@@ -193,14 +201,19 @@ class KGBatcher:
         materialises the whole epoch eagerly)."""
         L = self.label_batch_size
         idx = np.arange(L) % self.num_labels
+        lv = (np.arange(L) < self.num_labels).astype(np.float32)
         return self.graph_batch.replace(
-            label_list=jnp.asarray(self.label_list[idx][None])
+            label_list=jnp.asarray(self.label_list[idx][None]),
+            label_valid=jnp.asarray(lv[None]),
         )
 
     def batches(self, shuffle: bool = True):
-        for ll in self._epoch_label_lists(shuffle):
-            self.last_valid = 1
-            yield self.graph_batch.replace(label_list=jnp.asarray(ll[None]))
+        lls, lvs = self._epoch_label_lists(shuffle)
+        for ll, lv in zip(lls, lvs):
+            yield self.graph_batch.replace(
+                label_list=jnp.asarray(ll[None]),
+                label_valid=jnp.asarray(lv[None]),
+            )
 
     # --- whole-epoch scan protocol (see Trainer._run_epoch_scanned) -------
     def epoch_scan_inputs(self, shuffle: bool = True, epoch=None):
@@ -208,9 +221,11 @@ class KGBatcher:
         only the [S, 1, L, 6] label slices vary — a whole KG epoch becomes
         one jit dispatch instead of S (reference: label_batch_size inner
         loop, kgcn/core.py:219-222)."""
-        lls = self._epoch_label_lists(shuffle)
-        return self.graph_batch, jnp.asarray(lls[:, None])
+        lls, lvs = self._epoch_label_lists(shuffle)
+        return self.graph_batch, (jnp.asarray(lls[:, None]),
+                                  jnp.asarray(lvs[:, None]))
 
     @staticmethod
     def make_scan_batch(const_batch: Batch, x) -> Batch:
-        return const_batch.replace(label_list=x)
+        ll, lv = x
+        return const_batch.replace(label_list=ll, label_valid=lv)
