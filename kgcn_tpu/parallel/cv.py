@@ -17,9 +17,20 @@ keep; this module is that win as ONE SPMD program:
 * per-epoch validation on each fold's held-out split rides the same
   dispatch pattern (vmapped eval scan).
 
-Early stopping is inherently per-fold control flow, so the auto gate
-declines when ``patience`` is set (sequential fallback keeps full parity).
+Early stopping is per-fold control flow, kept OUTSIDE the compiled epoch:
+the epoch loop is host-driven, so a stopped fold simply gets an all-invalid
+(zero ``valid``) train schedule from its stop epoch on — the padded-dead-
+step machinery in the scan body already makes those steps true no-ops —
+while its held-out eval keeps running unchanged (frozen params → constant
+cost → never a new best).  Stop decisions use the exact sequential
+``EarlyStopping`` objects, one per fold.
 More folds than devices run in groups of ``len(devices)``.
+
+Multi-process (``kgcn-tpu-launch`` / multi-host pods): the fold mesh spans
+every process's devices; per-fold states and schedules become fold-sharded
+global arrays (each process contributes its own folds' rows), the dataset
+is replicated across the mesh, and host fetches ride
+``mesh.host_view`` — exercised for real in tests/test_multiprocess.py.
 """
 from __future__ import annotations
 
@@ -47,7 +58,8 @@ def fold_parallel_flag(config) -> str:
 
 def fold_parallel_enabled(config, ds, info, n_folds: int) -> bool:
     """Gate: explicit off wins; auto requires >1 device, a resident-capable
-    dataset, no DP mesh config, and no early stopping."""
+    dataset, and no DP mesh config (early stopping IS supported — per-fold
+    stop masking inside the vmapped epoch)."""
     flag = fold_parallel_flag(config)
     if flag == "off":
         return False
@@ -65,12 +77,17 @@ def fold_parallel_enabled(config, ds, info, n_folds: int) -> bool:
             print("[fold_parallel] dataset not device-resident; sequential")
         return False
     if flag == "force":
+        if config.get("mesh"):
+            # visible protocol change, like the retrain/resident notices:
+            # the fold axis takes the whole device set; a DP mesh config
+            # cannot compose with it and is ignored
+            print("[fold_parallel] forced; the 'mesh' (data-parallel) "
+                  "config is ignored on the fold-parallel path")
         return True
     return (
         len(jax.devices()) > 1
         and n_folds > 1
         and not config.get("mesh")
-        and not int(config.get("patience", 0) or 0)
     )
 
 
@@ -92,7 +109,6 @@ class FoldParallelCV:
 
     def __init__(self, config: Dict[str, Any], info, ds, folds,
                  *, seed: Optional[int] = None, model=None):
-        from kgcn_tpu.runtime.resident import build_device_dataset
         from kgcn_tpu.runtime.train import Trainer
 
         self.config = config
@@ -111,13 +127,34 @@ class FoldParallelCV:
             model = build_model(config["model.py"], info, config)
         self.model = model
         self.trainer = Trainer(self.model, config, info)
-        self.dd = build_device_dataset(ds, info)
+        # ONE dataset upload: the ResidentBatcher both holds the device
+        # dataset and builds the init sample reused by every fold group
+        from kgcn_tpu.runtime.resident import ResidentBatcher
+
+        rb = ResidentBatcher(ds, info, self.B)
+        self.dd = rb.device_data
+        self._init_sample = rb.make_batch(
+            np.arange(min(self.B, ds.num)))
 
         devs = jax.devices()
+        self.n_proc = jax.process_count()
         self.D = min(self.k, len(devs))
+        if self.n_proc > 1:
+            # each process must own whole folds (its rows of every fold-
+            # sharded array): round the fold axis to a process multiple
+            self.D = max(self.n_proc,
+                         (self.D // self.n_proc) * self.n_proc)
         self.mesh = Mesh(np.asarray(devs[: self.D]), ("fold",))
         self._sh_fold = NamedSharding(self.mesh, P("fold"))
         self._sh_rep = NamedSharding(self.mesh, P())
+        if self.n_proc > 1:
+            # replicate the device dataset across the multi-process mesh
+            # (every process holds the same host copy — CV datasets are
+            # replicated by construction)
+            self.dd = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), self._sh_rep),
+                self.dd,
+            )
         self._epoch_fn = None
         self._eval_fn = None
         self._best_fn = None
@@ -127,10 +164,14 @@ class FoldParallelCV:
         """[D, S, B] stacked schedules; folds with fewer steps pad with
         valid=0 rows (identical law to ResidentBatcher.epoch_schedule)."""
         B = self.B
-        S = max((len(ix) + B - 1) // B for ix in idx_list)
+        # stopped folds contribute EMPTY index lists: zero scheduled steps,
+        # all-invalid rows — the scan body's dead-step masking freezes them
+        S = max(max((len(ix) + B - 1) // B for ix in idx_list), 1)
         sched = np.zeros((len(idx_list), S, B), np.int32)
         valid = np.zeros((len(idx_list), S, B), np.float32)
         for f, ix in enumerate(idx_list):
+            if len(ix) == 0:
+                continue
             perm = rngs[f].permutation(ix) if shuffle else np.asarray(ix)
             n = len(perm)
             flat = np.zeros(S * B, np.int32)
@@ -234,23 +275,49 @@ class FoldParallelCV:
 
     # --- driver ---------------------------------------------------------
     def _init_states(self, fold_ids):
-        from kgcn_tpu.runtime.resident import ResidentBatcher
-
-        rb = ResidentBatcher(self.ds, self.info, self.B)
-        sample = rb.make_batch(np.arange(min(self.B, self.ds.num)))
+        # the init sample is built once in __init__ (no per-group dataset
+        # re-upload); per-fold seeds keep init parity with the sequential
+        # protocol
         return [
-            self.trainer.init_state(sample, seed=self.seed + f)
+            self.trainer.init_state(self._init_sample, seed=self.seed + f)
             for f in fold_ids
         ]
 
+    def _fold_global(self, tree):
+        """[D, ...]-stacked host/local pytree → fold-sharded global arrays.
+
+        Single-process this is a passthrough (jit's in_shardings place the
+        stack); multi-process each process contributes ONLY its own folds'
+        rows via make_array_from_process_local_data.
+        """
+        if self.n_proc == 1:
+            return tree
+        Dl = self.D // self.n_proc
+        pid = jax.process_index()
+
+        def g(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                self._sh_fold, x[pid * Dl:(pid + 1) * Dl], x.shape
+            )
+
+        return jax.tree_util.tree_map(g, tree)
+
     def run(self, log=print) -> List[Tuple[Any, Any, Dict[str, Any]]]:
         import kgcn_tpu.runtime.checkpoint as ckpt
+        from kgcn_tpu.parallel.mesh import host_view
+        from kgcn_tpu.runtime.train import (EarlyStopping,
+                                            EarlyStoppingMultiTask)
 
         results: List[Optional[Tuple[Any, Any, Dict[str, Any]]]] = (
             [None] * self.k
         )
         model_dir = self.config.get("save_model_path") or "model"
         shuffle = bool(self.config.get("shuffle_data", True))
+        patience = int(self.config.get("patience", 0) or 0)
+        es_multitask = (
+            str(self.config.get("early_stopping", "")) == "multitask"
+        )
         for g0 in range(0, self.k, self.D):
             group = list(range(g0, min(g0 + self.D, self.k)))
             real = len(group)
@@ -260,11 +327,23 @@ class FoldParallelCV:
             train_idx = [self.folds[f][0] for f in fold_ids]
             test_idx = [self.folds[f][1] for f in fold_ids]
             rngs = [np.random.RandomState(self.seed + f) for f in fold_ids]
-            states = _stack(self._init_states(fold_ids))
+            states = self._fold_global(_stack(self._init_states(fold_ids)))
             if self._epoch_fn is None:
                 self._epoch_fn = self._make_epoch_fn()
                 self._eval_fn = self._make_eval_fn(False)
+            # per-fold early stopping: the EXACT sequential objects
+            # (Trainer.fit uses one; here one per fold), applied host-side
+            # between compiled epochs.  Padding duplicates never train.
+            es = [
+                EarlyStoppingMultiTask(patience, self.task) if es_multitask
+                else EarlyStopping(patience, self.task)
+                for _ in fold_ids
+            ]
+            stopped = [j >= real for j in range(self.D)]
+            last_epochs = [self.epochs - 1] * self.D
             v_sched, v_valid = self._schedule(test_idx, rngs, shuffle=False)
+            v_sched = self._fold_global(v_sched)
+            v_valid = self._fold_global(v_valid)
             histories: List[List[Dict[str, Any]]] = [[] for _ in fold_ids]
             # per-fold best tracking, device-side (the sequential protocol
             # restores best-validation params before test eval,
@@ -298,34 +377,47 @@ class FoldParallelCV:
             # donation
             best, best_cost_dev = self._best_fn(
                 states,
-                jnp.full((self.D,), np.inf, jnp.float32),
+                self._fold_global(np.full((self.D,), np.inf, np.float32)),
                 states,
-                jnp.full((self.D,), np.finfo(np.float32).max, jnp.float32),
+                self._fold_global(
+                    np.full((self.D,), np.finfo(np.float32).max, np.float32)
+                ),
             )
             best_epochs = [-1] * self.D
             best_costs_host = [np.inf] * self.D
             t0 = time.time()
             for epoch in range(self.epochs):
-                sched, valid = self._schedule(train_idx, rngs, shuffle)
+                sched, valid = self._schedule(
+                    [ix if not stopped[j] else np.empty(0, np.int64)
+                     for j, ix in enumerate(train_idx)],
+                    rngs, shuffle,
+                )
                 states, costs, msum = self._epoch_fn(
-                    states, self.dd, sched, valid
+                    states, self.dd, self._fold_global(sched),
+                    self._fold_global(valid),
                 )
                 _, v_costs_dev, v_msum = self._eval_fn(
                     states, self.dd, v_sched, v_valid
                 )
+                # stopped folds' eval reruns on frozen params → constant
+                # cost → strict `<` in the best update never fires for them
                 best, best_cost_dev = self._best_fn(
                     best, best_cost_dev, states, v_costs_dev
                 )
-                costs, msum, v_costs, v_msum = jax.device_get(
+                costs, msum, v_costs, v_msum = host_view(
                     (costs, msum, v_costs_dev, v_msum)
                 )
                 for j in range(self.D):
+                    if stopped[j]:
+                        continue
                     n_va_j = len(test_idx[j])
                     c = float(v_costs[j]) / max(n_va_j, 1)
                     if c < best_costs_host[j]:
                         best_costs_host[j] = c
                         best_epochs[j] = epoch
                 for j, f in enumerate(fold_ids[:real]):
+                    if stopped[j]:
+                        continue
                     n_tr, n_va = len(train_idx[j]), len(test_idx[j])
                     row = {
                         "epoch": epoch,
@@ -346,22 +438,35 @@ class FoldParallelCV:
                                 if np.asarray(v).ndim == 0
                             })
                     histories[j].append(row)
-                head = histories[0][-1]
-                log(
-                    f"epoch {epoch}, folds {group[0]}-{group[-1]} "
-                    f"training cost {head['training_cost']:.6g}, "
-                    f"validation cost {head['validation_cost']:.6g}"
-                )
+                    # identical stop law to Trainer.fit: update the counter
+                    # on this epoch's validation cost, stop when patience
+                    # consecutive non-improvements accumulate
+                    if es[j].update(row["validation_cost"]):
+                        stopped[j] = True
+                        last_epochs[j] = epoch
+                        log(f"[stop] fold {f} by validation (epoch {epoch})")
+                active = [j for j in range(real) if not stopped[j]]
+                if active and histories[active[0]]:
+                    head = histories[active[0]][-1]
+                    log(
+                        f"epoch {epoch}, folds {group[0]}-{group[-1]} "
+                        f"training cost {head['training_cost']:.6g}, "
+                        f"validation cost {head['validation_cost']:.6g}"
+                    )
+                if not active:
+                    break
             wall = time.time() - t0
+            states_h = host_view(states)
+            best_h = host_view(best)
             for j, f in enumerate(group):
                 # restore the best-validation params before test evaluation
                 # (mirrors Trainer.fit's best-checkpoint restore) and write
                 # the same checkpoints the sequential path produces: best =
                 # the FULL state at the best epoch, last = the final state
                 # with best params restored
-                st = jax.device_get(_unstack(states, j))
+                st = _unstack(states_h, j)
                 if best_epochs[j] >= 0:
-                    bj = jax.device_get(_unstack(best, j))
+                    bj = _unstack(best_h, j)
                     st = st.replace(params=bj.params,
                                     batch_stats=bj.batch_stats)
                     ckpt.save_checkpoint(
@@ -374,7 +479,7 @@ class FoldParallelCV:
                 st = jax.tree_util.tree_map(jnp.asarray, st)
                 ckpt.save_checkpoint(
                     ckpt.ckpt_name(model_dir, "last", f),
-                    self.trainer.state_tree(st, self.epochs - 1,
+                    self.trainer.state_tree(st, last_epochs[j],
                                             best_costs_host[j]),
                 )
                 results[f] = (self.trainer, st, {

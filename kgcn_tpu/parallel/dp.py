@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from kgcn_tpu.data.batcher import Batch, Batcher
@@ -69,6 +69,138 @@ class ShardedBatcher:
 def _local(tree):
     """Strip the (now size-1) leading device axis inside shard_map."""
     return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+class GlobalShardedBatcher:
+    """Multi-process global-batch assembly (the multi-controller analogue of
+    ``ShardedBatcher``).
+
+    Each process builds ONLY the local batches for its own devices and the
+    global ``[D_global, ...]`` batch is assembled as a sharded ``jax.Array``
+    with ``jax.make_array_from_process_local_data`` — no host ever
+    materialises another host's shard.  Two ingest modes:
+
+    * ``mode="full"`` — every process holds the full (small) dataset; the
+      epoch-keyed global permutation is recomputed identically on every
+      process (``Batcher.epoch_indices`` is (seed, epoch)-deterministic), so
+      the global data order is bit-for-bit the single-process order and DP
+      training matches the single-process run exactly.
+    * ``mode="shard"`` — each process holds only its
+      ``process_index_range`` slice (true per-host ingest for datasets too
+      large for one host); permutation is host-local, every global example
+      is still consumed exactly once per epoch.
+
+    The reference has no counterpart — its multi-process runs are separate
+    shell-launched jobs that never share a batch (run.sh:9-14).
+    """
+
+    def __init__(self, batcher: Batcher, mesh: Mesh, axis: str = "data", *,
+                 mode: str = "full", global_num: Optional[int] = None):
+        self.b = batcher
+        self.mesh = mesh
+        self.axis = axis
+        self.mode = mode
+        self.D_global = int(mesh.shape[axis])
+        self.n_proc = jax.process_count()
+        self.pid = jax.process_index()
+        if self.D_global % self.n_proc:
+            raise ValueError(
+                f"{self.D_global}-way data axis does not divide over "
+                f"{self.n_proc} processes")
+        self.D_local = self.D_global // self.n_proc
+        self.ds = batcher.ds
+        self.global_batch = batcher.batch_size * self.D_global
+        self._n_global = int(
+            global_num if global_num is not None else batcher.ds.num
+        )
+        self._sharding = NamedSharding(mesh, P(axis))
+
+    @property
+    def batch_size(self) -> int:
+        return self.global_batch
+
+    @property
+    def valid_per_epoch(self) -> int:
+        return self._n_global
+
+    def batch_valid_counts(self):
+        n, bs = self._n_global, self.global_batch
+        return [min(bs, n - s) for s in range(0, n, bs)]
+
+    def _globalize(self, local_stack):
+        def g(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                self._sharding, x, (self.D_global,) + x.shape[1:]
+            )
+
+        return jax.tree_util.tree_map(g, local_stack)
+
+    def _local_stack(self, global_idx: np.ndarray) -> Batch:
+        """Stack of this process's local batches for one global step."""
+        B = self.b.batch_size
+        shards = []
+        for dl in range(self.D_local):
+            d = self.pid * self.D_local + dl
+            shards.append(self.b.make_batch(global_idx[d * B:(d + 1) * B]))
+        return stack_batches(shards)
+
+    def host_sample(self) -> Batch:
+        """Host-local [D_local, ...] sample batch for parameter init (init
+        must NOT touch the global mesh: params are created per-process from
+        the same seed, then replicated by ``DPTrainer.globalize_state``)."""
+        idx = np.arange(min(self.global_batch, self._n_global))
+        if self.mode == "shard":
+            # init only needs shapes; any local rows do
+            idx = np.arange(min(self.D_local * self.b.batch_size,
+                                self.b.ds.num))
+            B = self.b.batch_size
+            return stack_batches([
+                self.b.make_batch(idx[dl * B:(dl + 1) * B])
+                for dl in range(self.D_local)
+            ])
+        return self._local_stack(idx)
+
+    def make_batch(self, idx: np.ndarray) -> Batch:
+        self.last_valid = len(idx)
+        return self._globalize(self._local_stack(np.asarray(idx)))
+
+    def _padded_local_batch(self, rows: np.ndarray) -> Batch:
+        """A local batch for possibly-EMPTY rows: shorter host slices pad
+        trailing global steps with all-invalid batches (shapes must stay
+        identical across processes — every device runs the same program)."""
+        if len(rows):
+            return self.b.make_batch(rows)
+        import dataclasses
+
+        b = self.b.make_batch(np.array([0]))
+        return dataclasses.replace(b, pad_mask=jnp.zeros_like(b.pad_mask))
+
+    def _steps_shard(self) -> int:
+        base, extra = divmod(self._n_global, self.n_proc)
+        max_local = base + (1 if extra else 0)
+        per_step = self.D_local * self.b.batch_size
+        return (max_local + per_step - 1) // per_step
+
+    def batches(self, shuffle: bool = True, epoch=None):
+        if self.mode == "shard":
+            # host-local permutation over this process's slice; every
+            # process yields the SAME number of global steps (padded with
+            # all-invalid local batches where slices are shorter)
+            idx = self.b.epoch_indices(shuffle, epoch=epoch)
+            per_step = self.D_local * self.b.batch_size
+            B = self.b.batch_size
+            for s in range(self._steps_shard()):
+                chunk = idx[s * per_step:(s + 1) * per_step]
+                shards = [
+                    self._padded_local_batch(chunk[dl * B:(dl + 1) * B])
+                    for dl in range(self.D_local)
+                ]
+                yield self._globalize(stack_batches(shards))
+            return
+        idx = self.b.epoch_indices(shuffle, epoch=epoch)
+        for start in range(0, len(idx), self.global_batch):
+            yield self.make_batch(idx[start:start + self.global_batch])
 
 
 class ShardedResidentBatcher:
@@ -140,7 +272,32 @@ class DPTrainer(Trainer):
 
     def init_state(self, sample_batch: Batch, seed: int = 0) -> TrainState:
         # sample_batch is a stacked [D, ...] batch; init from one local shard
-        return super().init_state(_local(sample_batch), seed)
+        state = super().init_state(_local(sample_batch), seed)
+        if jax.process_count() > 1:
+            state = self.globalize_state(state)
+        return state
+
+    def globalize_state(self, state: TrainState) -> TrainState:
+        """Promote a process-local state to a mesh-replicated global state.
+
+        Multi-controller contract: every process ran the same deterministic
+        init (or restored the same checkpoint file), so the values are
+        identical across processes and a replicated device_put is exact.
+        """
+        sh = jax.sharding.NamedSharding(self.mesh, P())
+
+        def put(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already a global array
+            return jax.device_put(np.asarray(x), sh)
+
+        return jax.tree_util.tree_map(put, state)
+
+    def restore(self, state: TrainState, path: str) -> TrainState:
+        state = super().restore(state, path)
+        if jax.process_count() > 1:
+            state = self.globalize_state(state)
+        return state
 
     def _make_train_step(self):
         model, tx, axis = self.model, self.tx, self.axis
@@ -300,9 +457,12 @@ class DPTrainer(Trainer):
             metric_list.append(metrics)
             preds.append(pred)
             pads.append(batch.pad_mask)
-        costs, metric_list, preds, pads = jax.device_get(
-            (costs, metric_list, preds, pads)
-        )
+        from kgcn_tpu.parallel.mesh import host_view
+
+        # costs/metrics are replicated (device_get safe on every process);
+        # preds/pads are sharded over the data axis → allgather multi-process
+        costs, metric_list = jax.device_get((costs, metric_list))
+        preds, pads = host_view((preds, pads))
         cost_total = float(np.sum(costs))
         flat_preds = []
         for pred_np, pad in zip(preds, pads):

@@ -82,6 +82,39 @@ def initialize_distributed(config: Optional[Dict] = None) -> bool:
     return True
 
 
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process).
+
+    Used around filesystem rendezvous: e.g. process 0 writes a checkpoint,
+    everyone barriers, then all processes read it back (runtime/checkpoint).
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def host_view(tree):
+    """Bring a pytree of (possibly non-addressable) jax.Arrays to host numpy.
+
+    Single-process this is ``jax.device_get``; multi-process, sharded leaves
+    are allgathered across processes first (tiled along their sharded axis)
+    so every process sees the same full array — the multi-controller
+    equivalent of "fetch the predictions for metrics/serialisation".
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def process_index_range(n_items: int, num_processes: Optional[int] = None,
                         process_id: Optional[int] = None):
     """This process's contiguous [start, stop) slice of a global dataset.

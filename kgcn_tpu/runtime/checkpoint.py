@@ -18,14 +18,31 @@ from flax import serialization
 
 def save_checkpoint(path: str, tree: Dict[str, Any], fmt: str = "msgpack") -> str:
     """fmt='msgpack' (single self-describing file, default) or 'orbax'
-    (directory tree via orbax — useful for very large / sharded params)."""
-    tree = jax.device_get(tree)
+    (directory tree via orbax — useful for very large / sharded params).
+
+    Multi-process: replicated state is written ONCE by process 0 (every
+    process holds the same values), with a named barrier after the write so
+    a follow-up ``load_checkpoint`` on any process sees the finished file —
+    no N-way filesystem race.  Sharded state goes through ``save_sharded``
+    (orbax is multi-controller-aware and writes shard-by-shard).
+    """
     if fmt == "orbax":
-        return _save_orbax(path, tree)
+        return _save_orbax(path, jax.device_get(tree))
+    if jax.process_count() > 1:
+        from kgcn_tpu.parallel.mesh import barrier
+
+        if jax.process_index() == 0:
+            _write_msgpack(path, jax.device_get(tree))
+        barrier(f"ckpt:{os.path.basename(path)}")
+        return path
+    _write_msgpack(path, jax.device_get(tree))
+    return path
+
+
+def _write_msgpack(path: str, tree) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(tree))
-    return path
 
 
 def _save_orbax(path: str, tree) -> str:

@@ -12,6 +12,26 @@ from __future__ import annotations
 import os
 
 
+def cpu_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU AOT cache entries encode the *compile-time* machine features;
+    loading them on a host with fewer features logs errors and can SIGILL.
+    Keying the cache dir by the actual feature set (not just the arch)
+    makes a shared/NFS HOME safe across heterogeneous x86 hosts.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nofp"
+
+
 def setup_jax(config: dict | None = None, *, cpu: bool = False) -> None:
     import platform
 
@@ -19,6 +39,12 @@ def setup_jax(config: dict | None = None, *, cpu: bool = False) -> None:
 
     if cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # under `kgcn-tpu-launch` every CLI process joins the distributed
+        # job before the first backend touch (no-op when the env is absent)
+        from kgcn_tpu.parallel.launch import initialize_from_env
+
+        initialize_from_env()
     cache = (config or {}).get(
         "compile_cache_dir",
         os.environ.get(
@@ -32,7 +58,8 @@ def setup_jax(config: dict | None = None, *, cpu: bool = False) -> None:
             # serves AOT code compiled for a different machine (observed:
             # XLA "target machine feature ... not supported" → SIGILL risk)
             cache = os.path.join(
-                str(cache), f"{jax.__version__}-{platform.machine()}"
+                str(cache),
+                f"{jax.__version__}-{platform.machine()}-{cpu_fingerprint()}",
             )
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)

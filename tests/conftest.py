@@ -33,6 +33,11 @@ _cache = os.environ.get(
 )
 if _cache:
     try:
+        # key by CPU feature set: stale AOT entries compiled on a beefier
+        # host log loader errors and can SIGILL (see jax_setup.cpu_fingerprint)
+        from kgcn_tpu.runtime.jax_setup import cpu_fingerprint
+
+        _cache = os.path.join(_cache, cpu_fingerprint())
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

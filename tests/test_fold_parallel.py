@@ -39,7 +39,8 @@ def test_fold_parallel_gate():
     (ds, info), cfg = _dataset()
     assert fold_parallel_enabled(cfg, ds, info, 4)
     assert not fold_parallel_enabled({**cfg, "fold_parallel": False}, ds, info, 4)
-    assert not fold_parallel_enabled({**cfg, "patience": 3}, ds, info, 4)
+    # early stopping is supported on the parallel path (round 5)
+    assert fold_parallel_enabled({**cfg, "patience": 3}, ds, info, 4)
     assert not fold_parallel_enabled({**cfg, "mesh": {"data": 2}}, ds, info, 4)
     assert not fold_parallel_enabled(cfg, ds, info, 1)
 
@@ -97,6 +98,65 @@ def test_fold_parallel_matches_sequential_quality(tmp_path):
     a_par = r_par["mean_accuracy"]
     a_seq = r_seq["mean_accuracy"]
     assert abs(a_par - a_seq) < 0.3, (a_par, a_seq)
+    assert len(r_par["folds"]) == 4
+
+
+def test_fold_parallel_early_stopping(tmp_path):
+    """Per-fold early stopping inside the fold-parallel run: each fold
+    stops exactly where the sequential EarlyStopping law says (patience
+    consecutive validation-cost non-improvements), its history ends at the
+    stop epoch, and its parameters freeze from that point on."""
+    import jax
+
+    from kgcn_tpu.parallel.cv import FoldParallelCV
+    from kgcn_tpu.runtime.train import EarlyStopping
+
+    (ds, info), cfg = _dataset(n=64)
+    # tiny train folds + many epochs → validation cost rises → ES fires
+    cfg = dict(cfg, epoch=30, patience=2, learning_rate=5e-2,
+               save_model_path=str(tmp_path / "m"))
+    folds = kfold_indices(ds.num, 4, seed=0)
+    cv = FoldParallelCV(cfg, info, ds, folds)
+    results = cv.run(log=lambda *_: None)
+    stops = []
+    for f, (_, state, fi) in enumerate(results):
+        hist = fi["history"]
+        # replay the sequential stop law over the produced trajectory: the
+        # history must end exactly at the stop epoch (or run to completion)
+        es = EarlyStopping(cfg["patience"], cfg["task"])
+        stop_at = None
+        for row in hist:
+            if es.update(row["validation_cost"]):
+                stop_at = row["epoch"]
+                break
+        if stop_at is not None:
+            assert hist[-1]["epoch"] == stop_at, (f, stop_at, hist[-1])
+            stops.append(stop_at)
+        else:
+            assert len(hist) == cfg["epoch"]
+        assert fi["best_epoch"] >= 0
+    # the setup is chosen so at least one fold actually early-stops
+    assert stops, "no fold early-stopped; test setup lost its teeth"
+
+
+def test_fold_parallel_early_stop_matches_sequential(tmp_path):
+    """Same config through cmd_train_cv with patience set: the parallel
+    path (round 5: no longer falls back) reaches the sequential path's
+    quality band and every fold history respects the stop law."""
+    import joblib
+
+    from kgcn_tpu.cli.main import cmd_train_cv
+    from kgcn_tpu.data.synthetic import make_ring_dataset
+
+    joblib.dump(make_ring_dataset(num_pairs=40, seed=0), tmp_path / "ds.jbl")
+    _, cfg = _dataset()
+    base = dict(cfg, dataset=str(tmp_path / "ds.jbl"), epoch=10, patience=2,
+                **{"k-fold_num": 4},
+                save_model_path=str(tmp_path / "m"))
+    r_par = cmd_train_cv({**base, "fold_parallel": "force"})
+    r_seq = cmd_train_cv({**base, "fold_parallel": False,
+                          "save_model_path": str(tmp_path / "m2")})
+    assert abs(r_par["mean_accuracy"] - r_seq["mean_accuracy"]) < 0.3
     assert len(r_par["folds"]) == 4
 
 
