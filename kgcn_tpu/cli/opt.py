@@ -52,6 +52,33 @@ def run_trial(base_config, params) -> float:
     return float(np.inf)
 
 
+def _maybe_pool(base, parallel_trials: int):
+    """Build the device-parallel trial pool, or None for the sequential
+    path (parallel_trials<=1, single device, or a dataset the resident
+    gate declines)."""
+    if int(parallel_trials or 1) <= 1:
+        return None
+    import jax
+
+    if len(jax.devices()) < 2:
+        print("[opt] single device — sequential trials")
+        return None
+    try:
+        from kgcn_tpu.cli.main import _prepare
+        from kgcn_tpu.runtime.resident import resident_enabled
+        from kgcn_tpu.tools.parallel_trials import DeviceTrialPool
+
+        ds, info = _prepare(base)
+        if not resident_enabled(base, ds, info):
+            print("[opt] dataset not device-resident — sequential trials")
+            return None
+        return DeviceTrialPool(base, ds, info)
+    except Exception as e:
+        print(f"[opt] parallel trials unavailable "
+              f"({type(e).__name__}: {e}) — sequential")
+        return None
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="kgcn-tpu-opt", description=__doc__)
     p.add_argument("--config", required=True)
@@ -60,21 +87,39 @@ def main(argv=None):
     p.add_argument("--output-dir", default="opt_result")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--parallel-trials", type=int, default=1,
+                   help="trials trained concurrently, one per device "
+                        "(constant-liar batch acquisition; clamped to the "
+                        "device count)")
     args = p.parse_args(argv)
     from kgcn_tpu.runtime.config import load_config
-    from kgcn_tpu.tools.hpo import Domain, optimize
+    from kgcn_tpu.tools.hpo import Domain, optimize, optimize_parallel
 
     base = load_config(args.config)
     from kgcn_tpu.runtime.jax_setup import setup_jax
 
     setup_jax(base, cpu=args.cpu)
     domain = Domain.from_json(args.domain)
-    best_params, best_value, history = optimize(
-        lambda params: run_trial(base, params),
-        domain,
-        max_iter=args.max_itr,
-        seed=args.seed,
-    )
+    pool = _maybe_pool(base, args.parallel_trials)
+    if pool is not None:
+        import jax
+
+        k = min(args.parallel_trials, len(jax.devices()))
+        print(f"[opt] {k} trials per round, one per device")
+        best_params, best_value, history = optimize_parallel(
+            pool.run_batch,
+            domain,
+            max_iter=args.max_itr,
+            batch=k,
+            seed=args.seed,
+        )
+    else:
+        best_params, best_value, history = optimize(
+            lambda params: run_trial(base, params),
+            domain,
+            max_iter=args.max_itr,
+            seed=args.seed,
+        )
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "best_param.json"), "w") as f:
         json.dump(best_params, f, indent=2)

@@ -365,13 +365,19 @@ class ResidentBatcher:
     """
 
     def __init__(self, ds: Dataset, info: DatasetInfo, batch_size: int,
-                 *, seed: int = 0, max_nodes: Optional[int] = None):
+                 *, seed: int = 0, max_nodes: Optional[int] = None,
+                 device_data: Optional[DeviceDataset] = None):
         self.ds = ds
         self.info = info
         self.batch_size = int(batch_size)
         self.seed = int(seed)
         self._rng = np.random.RandomState(self.seed)
-        self.device_data = build_device_dataset(ds, info, max_nodes=max_nodes)
+        # callers that already hold the uploaded dataset (fold-parallel CV,
+        # device-parallel HPO trials) pass it in — no duplicate HBM upload
+        self.device_data = (
+            device_data if device_data is not None
+            else build_device_dataset(ds, info, max_nodes=max_nodes)
+        )
         self.max_nodes = self.device_data.max_nodes
         self._gather = jax.jit(gather_batch, static_argnums=())
 

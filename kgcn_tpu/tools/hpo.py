@@ -101,6 +101,24 @@ class GPOptimizer:
         ei = sd * (z * cdf + pdf)
         return cand[int(np.argmax(ei))]
 
+    def suggest_batch(self, k: int) -> List[np.ndarray]:
+        """Constant-liar batch acquisition: propose k points for one
+        parallel round.  After each suggestion the point is provisionally
+        observed at the current best ("lie"), pushing the next EI maximum
+        away from it — diverse batches without a joint q-EI integral.  The
+        lies are removed before returning."""
+        lie = float(np.nanmin(self.y)) if self.y else 0.0
+        if not np.isfinite(lie):
+            lie = 0.0
+        pts: List[np.ndarray] = []
+        for _ in range(max(int(k), 1)):
+            u = self.suggest()
+            pts.append(u)
+            self.observe(u, lie)
+        del self.X[-len(pts):]
+        del self.y[-len(pts):]
+        return pts
+
     def observe(self, u: np.ndarray, value: float) -> None:
         self.X.append(np.asarray(u))
         self.y.append(float(value))
@@ -130,5 +148,36 @@ def optimize(
         opt.observe(u, value)
         history.append({"iteration": it, "params": params, "value": value})
         log(f"[opt] iter {it}: value={value:.6g} params={params}")
+    best_params, best_value = opt.best
+    return best_params, best_value, history
+
+
+def optimize_parallel(
+    objective_batch: Callable[[List[Dict]], List[float]],
+    domain: Domain,
+    max_iter: int = 20,
+    batch: int = 4,
+    seed: int = 0,
+    log: Callable[[str], None] = print,
+):
+    """Batch BO: ceil(max_iter/batch) rounds of `batch` constant-liar
+    proposals, each round trained CONCURRENTLY (one trial per device —
+    tools/parallel_trials.py).  Same trial budget and history schema as
+    ``optimize``; wall-clock ≈ sequential / batch on an idle mesh."""
+    opt = GPOptimizer(domain, seed=seed)
+    history = []
+    it = 0
+    while it < max_iter:
+        k = min(batch, max_iter - it)
+        us = opt.suggest_batch(k)
+        param_sets = [domain.decode(u) for u in us]
+        values = objective_batch(param_sets)
+        for u, params, value in zip(us, param_sets, values):
+            opt.observe(u, float(value))
+            history.append({"iteration": it, "params": params,
+                            "value": float(value)})
+            log(f"[opt] iter {it}: value={float(value):.6g} "
+                f"params={params}")
+            it += 1
     best_params, best_value = opt.best
     return best_params, best_value, history

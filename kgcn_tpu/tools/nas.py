@@ -80,12 +80,36 @@ def build_from_params(params: Dict, info) -> SearchedGCN:
 
 
 def search(train_ds, valid_ds, info, config, max_iter: int = 10, seed: int = 0,
-           log=print):
-    """NAS loop: each trial trains a candidate and reports validation cost."""
+           log=print, parallel: int = 1):
+    """NAS loop: each trial trains a candidate and reports validation cost.
+
+    ``parallel>1``: candidates train concurrently, one architecture per
+    device (tools/parallel_trials.py), with constant-liar batch
+    acquisition — the heterogeneous-program case vmap-stacking can't serve.
+    """
     import optax
 
     from kgcn_tpu.data import Batcher
     from kgcn_tpu.runtime.train import Trainer
+
+    if int(parallel or 1) > 1:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from kgcn_tpu.tools.hpo import optimize_parallel
+            from kgcn_tpu.tools.parallel_trials import DeviceTrialPool
+
+            pool = DeviceTrialPool(
+                dict(config), train_ds, info, valid_ds=valid_ds,
+                model_builder=lambda cfg, params, inf:
+                    build_from_params(params, inf),
+            )
+            k = min(int(parallel), len(jax.devices()))
+            log(f"[nas] {k} candidates per round, one per device")
+            return optimize_parallel(
+                pool.run_batch, Domain(NAS_DOMAIN), max_iter=max_iter,
+                batch=k, seed=seed, log=log)
+        log("[nas] single device — sequential candidates")
 
     # batchers are data-only — build once, not per trial (Batcher.__init__
     # redoes the native edge concatenation + ELL precompute over the whole
