@@ -221,6 +221,193 @@ def _ring_size(atom) -> int:
     return min(sizes) if sizes else 0
 
 
+def _atom_index(atom) -> int:
+    return atom.GetIdx() if hasattr(atom, "GetIdx") else atom.idx
+
+
+def _owning_mol(atom):
+    if hasattr(atom, "GetOwningMol"):
+        return atom.GetOwningMol()
+    return atom._mol
+
+
+def _mol_graph(mol):
+    """(n_atoms, [(i, j, order)]) with aromatic order 1.5 — duck-typed."""
+    if hasattr(mol, "GetBonds") and hasattr(mol, "GetNumAtoms"):  # RDKit
+        return mol.GetNumAtoms(), [
+            (b.GetBeginAtomIdx(), b.GetEndAtomIdx(),
+             float(b.GetBondTypeAsDouble()))
+            for b in mol.GetBonds()
+        ]
+    return len(mol.atoms), [
+        (a, b, 1.5 if o == 12 else float(o)) for a, b, o in mol.bonds
+    ]
+
+
+def _mol_rings(mol):
+    """List of atom-index rings (smallest set for RDKit, cycle basis for
+    molparse), cached on the molecule."""
+    cached = getattr(mol, "_gaff_rings", None)
+    if cached is not None:
+        return cached
+    if hasattr(mol, "GetRingInfo"):  # RDKit
+        rings = [tuple(r) for r in mol.GetRingInfo().AtomRings()]
+    else:
+        from kgcn_tpu.data.molparse import _cycle_basis
+
+        n, bonds = _mol_graph(mol)
+        rings = [tuple(r) for r in _cycle_basis(
+            n, [(i, j) for i, j, _ in bonds])]
+    try:
+        mol._gaff_rings = rings
+    except Exception:
+        pass
+    return rings
+
+
+def _gaff_conj(mol):
+    """Kekulé-alternation colors for GAFF conjugation type pairs.
+
+    Returns ``(colors, cp_set)``: ``colors[i] in (0, 1)`` for atoms in the
+    split-typed conjugated systems (0 → the first letter of the pair:
+    cc/ce/nc/ne; 1 → cd/cf/nd/nf), and ``cp_set`` = ipso carbons of
+    biphenyl-type aromatic–aromatic single bridges.
+
+    GAFF's pair law (gaff.dat bond table: cc-cc 1.43 Å single vs cc-cd
+    1.37 Å double): bonds between SAME types are conjugated single bonds,
+    bonds between DIFFERENT types are the Kekulé double bonds — so colors
+    flip across double bonds and persist across single/aromatic ones.  For
+    aromatic 5-rings (RDKit/molparse give order-1.5 bonds, no Kekulé
+    structure) the double-bond set is recovered with a greedy matching over
+    the double-bond-capable ring atoms (aromatic C; 2-connected aromatic
+    N) — exact on the 5-ring heteroaromatics this path serves (pyrrole,
+    furan, thiophene, imidazole, ...), since the pyrrole-type heteroatom
+    pins the alternation.  Reference behavior being reproduced: openbabel's
+    GAFF typer via kgcn/preprocessing/utils.py:57-79.
+    """
+    cached = getattr(mol, "_gaff_conj_cache", None)
+    if cached is not None:
+        return cached
+    n, bonds = _mol_graph(mol)
+    atoms = ([mol.GetAtomWithIdx(i) for i in range(n)]
+             if hasattr(mol, "GetAtomWithIdx") else list(mol.atoms))
+    rings = _mol_rings(mol)
+    ring_sizes = [set() for _ in range(n)]
+    for r in rings:
+        for i in r:
+            ring_sizes[i].add(len(r))
+    in_ring = [bool(ring_sizes[i]) for i in range(n)]
+
+    def aromatic(i):
+        return bool(atoms[i].GetIsAromatic())
+
+    adj = [[] for _ in range(n)]
+    for i, j, o in bonds:
+        adj[i].append((j, o))
+        adj[j].append((i, o))
+
+    def has_multiple(i):
+        return any(o >= 1.5 for _, o in adj[i])
+
+    # --- candidates -----------------------------------------------------
+    # ring family: aromatic atom whose rings are 5-membered only (fused
+    # 5+6 atoms stay pure-aromatic ca, like antechamber's indole fusion
+    # carbons); C always capable, N only when 2-connected (pyridine-type)
+    ring_cand = set()
+    for i in range(n):
+        if not aromatic(i) or 6 in ring_sizes[i] or 5 not in ring_sizes[i]:
+            continue
+        z = atoms[i].GetAtomicNum()
+        if z == 6:
+            ring_cand.add(i)
+        elif z == 7 and (atoms[i].GetDegree()
+                         + atoms[i].GetTotalNumHs()) == 2:
+            ring_cand.add(i)
+    # chain family: non-ring sp2 C/N carrying a double bond, single-bonded
+    # to another atom that itself carries a multiple bond ("inner" atom of
+    # a conjugated chain — terminal =CH2 stays c2/n2)
+    chain_cand = set()
+    for i in range(n):
+        if in_ring[i] or atoms[i].GetAtomicNum() not in (6, 7):
+            continue
+        if not any(o == 2 for _, o in adj[i]):
+            continue
+        if any(o == 1 and (has_multiple(j) or aromatic(j))
+               for j, o in adj[i]):
+            chain_cand.add(i)
+    cand = ring_cand | chain_cand
+
+    # --- Kekulé double-bond set ----------------------------------------
+    matched = set()   # frozenset({i, j}) double bonds between candidates
+    taken = set()
+    for i, j, o in bonds:
+        if o == 2 and i in cand and j in cand:
+            matched.add(frozenset((i, j)))
+            taken.update((i, j))
+    # leaf-first greedy maximum matching over the aromatic candidate
+    # subgraph (exact on the paths/cycles these 5-ring systems form —
+    # matching lowest-index-first instead can strand mid-path atoms and
+    # produce an invalid Kekulé pattern)
+    live = {i for i in ring_cand if i not in taken}
+    sub = {i: [j for j, o in adj[i] if o == 1.5 and j in live]
+           for i in live}
+    while live:
+        i = min(live, key=lambda a: (len([j for j in sub[a] if j in live]),
+                                     a))
+        nbrs_live = [j for j in sub[i] if j in live]
+        live.discard(i)
+        if not nbrs_live:
+            continue  # odd-component leftover: stays single-bonded
+        j = nbrs_live[0]
+        matched.add(frozenset((i, j)))
+        live.discard(j)
+
+    # --- 2-coloring -----------------------------------------------------
+    # start each component at a heteroatom-adjacent candidate (alpha
+    # position) with color 0 → pyrrole/furan alphas get the first letter
+    # (cc), matching antechamber's conventional output
+    def start_key(i):
+        alpha = any(
+            o == 1.5 and j not in cand and aromatic(j)
+            and atoms[j].GetAtomicNum() != 6
+            for j, o in adj[i]
+        )
+        return (0 if alpha else 1, i)
+
+    colors: dict = {}
+    for start in sorted(cand, key=start_key):
+        if start in colors:
+            continue
+        colors[start] = 0
+        stack = [start]
+        while stack:
+            i = stack.pop()
+            for j, o in adj[i]:
+                if j not in cand or j in colors:
+                    continue
+                flip = frozenset((i, j)) in matched
+                colors[j] = colors[i] ^ int(flip)
+                stack.append(j)
+
+    # --- biphenyl bridges (cp) -----------------------------------------
+    ring_sets = [frozenset(r) for r in rings]
+    cp_set = set()
+    for i, j, o in bonds:
+        if (aromatic(i) and aromatic(j)
+                and atoms[i].GetAtomicNum() == 6
+                and atoms[j].GetAtomicNum() == 6
+                and 6 in ring_sizes[i] and 6 in ring_sizes[j]
+                and not any(i in rs and j in rs for rs in ring_sets)):
+            cp_set.update((i, j))
+
+    out = (colors, cp_set)
+    try:
+        mol._gaff_conj_cache = out
+    except Exception:
+        pass
+    return out
+
+
 def gaff_atom_type(atom) -> str:
     """GAFF atom type from graph context — functional equivalent of the
     reference's openbabel force-field typer (kgcn/preprocessing/utils.py:
@@ -229,10 +416,14 @@ def gaff_atom_type(atom) -> str:
 
     Covers the common organic subset exactly (c/c1/c2/c3/ca/cx/cy/cu/cv/cz,
     n/n1/n2/n3/n4/na/nb/nh/no, o/oh/os, s/s2/s4/s6/sh/ss, p2/p3/p5, f/cl/
-    br/i, and the hydrogen classes for explicit-H molecules).  Approximated
-    (documented in PARITY.md): biphenyl-bridge cp/cq → ca; non-pure-aromatic
-    cc-ch and nc-nf conjugation splittings → their base sp2 type (c2 / n2 /
-    nb); pb/pc-pf/px/py/sx/sy conjugation variants → base type.  Unknown
+    br/i, and the hydrogen classes for explicit-H molecules) plus, since
+    round 5, the conjugation splittings via Kekulé-alternation coloring
+    (``_gaff_conj``): 5-ring heteroaromatic carbons cc/cd, conjugated-chain
+    inners ce/cf and ne/nf, 5-ring pyridine-type nitrogens nc/nd, and
+    biphenyl-bridge cp.  Still approximated (documented in PARITY.md):
+    cq (special fused-bridge variant) → cp; cg/ch conjugated sp1 → c1;
+    fused 5+6 ring atoms → ca (antechamber's indole behavior);
+    pb/pc-pf/px/py/sx/sy conjugation variants → base type.  Unknown
     exotics fall into the reference's unk-last bucket ('sy')."""
     z = atom.GetAtomicNum()
     nbrs = _neighbor_bonds(atom)
@@ -263,7 +454,13 @@ def gaff_atom_type(atom) -> str:
         return "hc"
     if z == 6:
         if atom.GetIsAromatic():
-            return "ca"  # cp/cq/cc/cd approximated to the pure-aromatic type
+            colors, cp_set = _gaff_conj(_owning_mol(atom))
+            i = _atom_index(atom)
+            if i in cp_set:
+                return "cp"  # biphenyl ipso (cq fused variant → cp)
+            if i in colors:
+                return "cc" if colors[i] == 0 else "cd"
+            return "ca"
         if any(o == 2 and a.GetAtomicNum() in (8, 16) for a, o in nbrs):
             return "c"  # carbonyl / thiocarbonyl
         if hyb == 1 or any(o == 3 for o in orders):
@@ -276,7 +473,11 @@ def gaff_atom_type(atom) -> str:
                 return "cu"
             if ring == 4:
                 return "cv"
-            return "c2"  # ce/cf/cc/cd conjugation split approximated
+            colors, _ = _gaff_conj(_owning_mol(atom))
+            i = _atom_index(atom)
+            if i in colors:
+                return "ce" if colors[i] == 0 else "cf"
+            return "c2"
         if ring == 3:
             return "cx"
         if ring == 4:
@@ -289,8 +490,14 @@ def gaff_atom_type(atom) -> str:
             return "no"  # nitro
         if atom.GetIsAromatic():
             # pyrrole-like (3 connections incl. implicit H) → na;
-            # pyridine-like 2-connection → nb (nc/nd approximated)
-            return "na" if deg + atom.GetTotalNumHs() >= 3 else "nb"
+            # 5-ring pyridine-like → nc/nd; 6-ring pyridine-like → nb
+            if deg + atom.GetTotalNumHs() >= 3:
+                return "na"
+            colors, _ = _gaff_conj(_owning_mol(atom))
+            i = _atom_index(atom)
+            if i in colors:
+                return "nc" if colors[i] == 0 else "nd"
+            return "nb"
         for a, order in nbrs:
             if a.GetAtomicNum() == 6 and order == 1:
                 for a2, o2 in _neighbor_bonds(a):
@@ -301,7 +508,11 @@ def gaff_atom_type(atom) -> str:
         if deg == 4 or (hyb == 3 and atom.GetFormalCharge() > 0):
             return "n4"
         if any(o == 2 for o in orders):
-            return "n2"  # ne/nf approximated
+            colors, _ = _gaff_conj(_owning_mol(atom))
+            i = _atom_index(atom)
+            if i in colors:
+                return "ne" if colors[i] == 0 else "nf"
+            return "n2"
         if any(a.GetIsAromatic() for a, _ in nbrs):
             return "nh"  # aniline-like amine
         return "n3"
@@ -322,6 +533,8 @@ def gaff_atom_type(atom) -> str:
             return "s4"  # sulfoxide
         if any(o == 2 for o in orders):
             return "s2" if deg >= 2 else "s"
+        if atom.GetIsAromatic():
+            return "ss"  # thiophene-type S: two single bonds in the ring
         if atom.GetTotalNumHs() > 0:
             return "sh"
         return "ss"

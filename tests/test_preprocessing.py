@@ -458,6 +458,53 @@ def test_gaff_atom_types():
     assert types("C1CC1") == ["cx", "cx", "cx"]               # cyclopropane
 
 
+def test_gaff_conjugation_splitting():
+    """Round-5 Kekulé-alternation typing (featurizer._gaff_conj): the
+    cc/cd, ce/cf, nc/nd, ne/nf pairs and the biphenyl cp bridge, pinned
+    against antechamber's literature assignments (GAFF bond law: same-type
+    pairs joined by conjugated single bonds, different-type by the Kekulé
+    double bonds — gaff.dat cc-cc 1.43 Å vs cc-cd 1.37 Å)."""
+    from kgcn_tpu.data import featurizer as fz
+    from kgcn_tpu.data.molparse import parse_smiles as mol_from_smiles
+
+    def types(smiles):
+        mol = mol_from_smiles(smiles)
+        return [fz.gaff_atom_type(a) for a in mol.GetAtoms()]
+
+    # 5-ring heteroaromatics: alpha carbons cc, betas cd, heteroatom fixed
+    assert types("c1cc[nH]c1") == ["cd", "cd", "cc", "na", "cc"]  # pyrrole
+    assert types("c1ccoc1") == ["cd", "cd", "cc", "os", "cc"]     # furan
+    assert types("c1ccsc1") == ["cd", "cd", "cc", "ss", "cc"]     # thiophene
+    # imidazole: both N-adjacent carbons cc; pyridine-type ring N nc/nd
+    t = types("c1cnc[nH]1")
+    assert t[0] == t[3] == "cc" and t[1] == "cd"
+    assert t[2] in ("nc", "nd")
+    assert t[4] == "na"
+    # conjugated chains: inner atoms split, terminals stay c2
+    assert types("C=CC=C") == ["c2", "ce", "ce", "c2"]      # butadiene
+    assert types("C=CC=CC=C") == [
+        "c2", "ce", "ce", "cf", "cf", "c2"]                 # hexatriene
+    assert types("C=NC=C") == ["c2", "ne", "ce", "c2"]      # 1-aza-butadiene
+    # furan-2-yl ketone: ring splitting survives exocyclic conjugation;
+    # the carbonyl carbon stays the dedicated 'c' type
+    assert types("CC(=O)c1ccco1") == [
+        "c3", "c", "o", "cc", "cd", "cd", "cc", "os"]
+    # pyrrole-imine chain: ring cc/cd + inner chain carbon ce; the imine N
+    # is terminal (methyl on the other side) so it stays n2
+    assert types("c1cc[nH]c1/C=N/C") == [
+        "cd", "cd", "cc", "na", "cc", "ce", "n2", "c3"]
+    # biphenyl: ipso carbons cp, the rest pure-aromatic ca
+    t = types("c1ccc(-c2ccccc2)cc1")
+    assert t.count("cp") == 2 and t.count("ca") == 10
+    # 6-ring aromatics and fused 5+6 systems are NOT split: pyridine nb,
+    # benzene/naphthalene all ca, indole 5-ring-only carbons cc/cd
+    assert types("c1ccncc1")[3] == "nb"
+    assert set(types("c1ccc2ccccc2c1")) == {"ca"}            # naphthalene
+    t = types("c1ccc2[nH]ccc2c1")                            # indole
+    assert t[5] == "cc" and t[6] == "cd"
+    assert t.count("ca") == 6 and t[4] == "na"
+
+
 def test_gaff_feature_vector_and_cli(tmp_path):
     """--use-gaff: the 71-type one-hot IS the whole feature vector
     (reference create_feature_matrix, utils.py:156-161), exclusive of the
