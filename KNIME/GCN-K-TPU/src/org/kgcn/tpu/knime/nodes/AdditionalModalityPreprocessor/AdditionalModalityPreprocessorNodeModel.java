@@ -13,9 +13,9 @@ import org.kgcn.tpu.knime.nodes.GCNTpuNodeModel;
 /** AdditionalModalityPreprocessor node: see kgcn_tpu.knime.helpers for the Python contract. */
 public class AdditionalModalityPreprocessorNodeModel extends GCNTpuNodeModel {
 
-    private final SettingsModelString m_modality = new SettingsModelString("modality", "");
-    private final SettingsModelString m_csv_file = new SettingsModelString("csv_file", "");
-    private final SettingsModelString m_work_dir = new SettingsModelString("work_dir", "");
+    private final SettingsModelString m_modality = new SettingsModelString("Modality", "");
+    private final SettingsModelString m_csv_file = new SettingsModelString("CSVFile", "");
+    private final SettingsModelString m_work_dir = new SettingsModelString("WorkingDirectory", "");
 
     protected AdditionalModalityPreprocessorNodeModel() {
         super(0, 1);

@@ -13,8 +13,8 @@ import org.kgcn.tpu.knime.nodes.GCNTpuNodeModel;
 /** CSVLabelExtractor node: see kgcn_tpu.knime.helpers for the Python contract. */
 public class CSVLabelExtractorNodeModel extends GCNTpuNodeModel {
 
-    private final SettingsModelString m_csv_file = new SettingsModelString("csv_file", "");
-    private final SettingsModelString m_work_dir = new SettingsModelString("work_dir", "");
+    private final SettingsModelString m_csv_file = new SettingsModelString("CSVFile", "");
+    private final SettingsModelString m_work_dir = new SettingsModelString("WorkingDirectory", "");
 
     protected CSVLabelExtractorNodeModel() {
         super(0, 1);

@@ -6,6 +6,6 @@ public class GCNDatasetBuilderNodeDialog extends DefaultNodeSettingsPane {
 
     protected GCNDatasetBuilderNodeDialog() {
         super();
-        // no settings
+        addDialogComponent(new DialogComponentString(new SettingsModelString("csv_file", ""), "csv_file"));
     }
 }

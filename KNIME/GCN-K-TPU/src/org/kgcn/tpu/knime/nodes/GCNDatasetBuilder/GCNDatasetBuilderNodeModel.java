@@ -13,7 +13,7 @@ import org.kgcn.tpu.knime.nodes.GCNTpuNodeModel;
 /** GCNDatasetBuilder node: see kgcn_tpu.knime.helpers for the Python contract. */
 public class GCNDatasetBuilderNodeModel extends GCNTpuNodeModel {
 
-
+    private final SettingsModelString m_csv_file = new SettingsModelString("CSVFile", "");
 
     protected GCNDatasetBuilderNodeModel() {
         super(3, 1);
@@ -51,18 +51,18 @@ public class GCNDatasetBuilderNodeModel extends GCNTpuNodeModel {
 
     @Override
     protected void saveSettingsTo(final NodeSettingsWO settings) {
-
+        m_csv_file.saveSettingsTo(settings);
     }
 
     @Override
     protected void loadValidatedSettingsFrom(final NodeSettingsRO settings)
             throws InvalidSettingsException {
-
+        m_csv_file.loadSettingsFrom(settings);
     }
 
     @Override
     protected void validateSettings(final NodeSettingsRO settings)
             throws InvalidSettingsException {
-
+        m_csv_file.validateSettings(settings);
     }
 }

@@ -6,6 +6,6 @@ public class GCNDatasetSplitterNodeDialog extends DefaultNodeSettingsPane {
 
     protected GCNDatasetSplitterNodeDialog() {
         super();
-        addDialogComponent(new DialogComponentNumber(new SettingsModelDouble("ratio", 0.8), "ratio", 1));
+        addDialogComponent(new DialogComponentNumber(new SettingsModelDouble("ratio", 0.9), "ratio", 1));
     }
 }

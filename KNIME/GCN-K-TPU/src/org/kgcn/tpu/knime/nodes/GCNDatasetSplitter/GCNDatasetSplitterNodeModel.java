@@ -13,7 +13,7 @@ import org.kgcn.tpu.knime.nodes.GCNTpuNodeModel;
 /** GCNDatasetSplitter node: see kgcn_tpu.knime.helpers for the Python contract. */
 public class GCNDatasetSplitterNodeModel extends GCNTpuNodeModel {
 
-    private final SettingsModelDouble m_ratio = new SettingsModelDouble("ratio", 0.8);
+    private final SettingsModelDouble m_ratio = new SettingsModelDouble("Ratio", 0.9);
 
     protected GCNDatasetSplitterNodeModel() {
         super(1, 2);

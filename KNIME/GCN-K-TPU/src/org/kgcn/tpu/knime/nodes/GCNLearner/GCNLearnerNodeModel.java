@@ -13,18 +13,22 @@ import org.kgcn.tpu.knime.nodes.GCNTpuNodeModel;
 /** GCNLearner node: see kgcn_tpu.knime.helpers for the Python contract. */
 public class GCNLearnerNodeModel extends GCNTpuNodeModel {
 
-    private final SettingsModelString m_model_py = new SettingsModelString("model_py", "gcn");
-    private final SettingsModelDouble m_validation_data_rate = new SettingsModelDouble("validation_data_rate", 0.2);
-    private final SettingsModelInteger m_epoch = new SettingsModelInteger("epoch", 50);
-    private final SettingsModelInteger m_batch_size = new SettingsModelInteger("batch_size", 32);
-    private final SettingsModelDouble m_learning_rate = new SettingsModelDouble("learning_rate", 0.01);
-    private final SettingsModelBoolean m_with_feature = new SettingsModelBoolean("with_feature", true);
-    private final SettingsModelBoolean m_with_node_embedding = new SettingsModelBoolean("with_node_embedding", false);
-    private final SettingsModelInteger m_embedding_dim = new SettingsModelInteger("embedding_dim", 10);
-    private final SettingsModelBoolean m_normalize_adj_flag = new SettingsModelBoolean("normalize_adj_flag", true);
-    private final SettingsModelBoolean m_split_adj_flag = new SettingsModelBoolean("split_adj_flag", false);
-    private final SettingsModelInteger m_order = new SettingsModelInteger("order", 1);
-    private final SettingsModelInteger m_patience = new SettingsModelInteger("patience", 0);
+    private final SettingsModelString m_model_py = new SettingsModelString("model.py", "sample_chem.singletask.solubility.model");
+    private final SettingsModelDouble m_validation_data_rate = new SettingsModelDouble("Validation Data Rate", 0.3);
+    private final SettingsModelInteger m_epoch = new SettingsModelInteger("Epoch", 50);
+    private final SettingsModelInteger m_batch_size = new SettingsModelInteger("Batch Size", 10);
+    private final SettingsModelInteger m_patience = new SettingsModelInteger("Patience", 0);
+    private final SettingsModelDouble m_learning_rate = new SettingsModelDouble("Learning Rate", 0.3);
+    private final SettingsModelBoolean m_shuffle_data = new SettingsModelBoolean("Shuffle Data", false);
+    private final SettingsModelBoolean m_with_feature = new SettingsModelBoolean("With Feature", true);
+    private final SettingsModelBoolean m_with_node_embedding = new SettingsModelBoolean("With Node Embedding", false);
+    private final SettingsModelInteger m_embedding_dim = new SettingsModelInteger("Embedding Dim", 10);
+    private final SettingsModelBoolean m_normalize_adj_flag = new SettingsModelBoolean("Normalize Adj Flag", false);
+    private final SettingsModelBoolean m_split_adj_flag = new SettingsModelBoolean("Split Adj Flag", false);
+    private final SettingsModelInteger m_order = new SettingsModelInteger("Order", 1);
+    private final SettingsModelInteger m_save_interval = new SettingsModelInteger("Save Interval", 10);
+    private final SettingsModelBoolean m_make_plot = new SettingsModelBoolean("Make Plot", false);
+    private final SettingsModelBoolean m_profile = new SettingsModelBoolean("Profile", false);
 
     protected GCNLearnerNodeModel() {
         super(1, 1);
@@ -54,6 +58,10 @@ public class GCNLearnerNodeModel extends GCNTpuNodeModel {
         pw.println("    \"split_adj_flag\" : " + String.valueOf(m_split_adj_flag.getBooleanValue()) + ",");
         pw.println("    \"order\" : " + String.valueOf(m_order.getIntValue()) + ",");
         pw.println("    \"patience\" : " + String.valueOf(m_patience.getIntValue()) + ",");
+        pw.println("    \"shuffle_data\" : " + String.valueOf(m_shuffle_data.getBooleanValue()) + ",");
+        pw.println("    \"save_interval\" : " + String.valueOf(m_save_interval.getIntValue()) + ",");
+        pw.println("    \"make_plot\" : " + String.valueOf(m_make_plot.getBooleanValue()) + ",");
+        pw.println("    \"profile\" : " + String.valueOf(m_profile.getBooleanValue()) + ",");
         pw.println("    \"save_model\" : " + "\"" + out0 + "\"" + "");
         pw.println("}");
         pw.close();
@@ -80,14 +88,18 @@ public class GCNLearnerNodeModel extends GCNTpuNodeModel {
         m_validation_data_rate.saveSettingsTo(settings);
         m_epoch.saveSettingsTo(settings);
         m_batch_size.saveSettingsTo(settings);
+        m_patience.saveSettingsTo(settings);
         m_learning_rate.saveSettingsTo(settings);
+        m_shuffle_data.saveSettingsTo(settings);
         m_with_feature.saveSettingsTo(settings);
         m_with_node_embedding.saveSettingsTo(settings);
         m_embedding_dim.saveSettingsTo(settings);
         m_normalize_adj_flag.saveSettingsTo(settings);
         m_split_adj_flag.saveSettingsTo(settings);
         m_order.saveSettingsTo(settings);
-        m_patience.saveSettingsTo(settings);
+        m_save_interval.saveSettingsTo(settings);
+        m_make_plot.saveSettingsTo(settings);
+        m_profile.saveSettingsTo(settings);
     }
 
     @Override
@@ -97,14 +109,18 @@ public class GCNLearnerNodeModel extends GCNTpuNodeModel {
         m_validation_data_rate.loadSettingsFrom(settings);
         m_epoch.loadSettingsFrom(settings);
         m_batch_size.loadSettingsFrom(settings);
+        m_patience.loadSettingsFrom(settings);
         m_learning_rate.loadSettingsFrom(settings);
+        m_shuffle_data.loadSettingsFrom(settings);
         m_with_feature.loadSettingsFrom(settings);
         m_with_node_embedding.loadSettingsFrom(settings);
         m_embedding_dim.loadSettingsFrom(settings);
         m_normalize_adj_flag.loadSettingsFrom(settings);
         m_split_adj_flag.loadSettingsFrom(settings);
         m_order.loadSettingsFrom(settings);
-        m_patience.loadSettingsFrom(settings);
+        m_save_interval.loadSettingsFrom(settings);
+        m_make_plot.loadSettingsFrom(settings);
+        m_profile.loadSettingsFrom(settings);
     }
 
     @Override
@@ -114,13 +130,17 @@ public class GCNLearnerNodeModel extends GCNTpuNodeModel {
         m_validation_data_rate.validateSettings(settings);
         m_epoch.validateSettings(settings);
         m_batch_size.validateSettings(settings);
+        m_patience.validateSettings(settings);
         m_learning_rate.validateSettings(settings);
+        m_shuffle_data.validateSettings(settings);
         m_with_feature.validateSettings(settings);
         m_with_node_embedding.validateSettings(settings);
         m_embedding_dim.validateSettings(settings);
         m_normalize_adj_flag.validateSettings(settings);
         m_split_adj_flag.validateSettings(settings);
         m_order.validateSettings(settings);
-        m_patience.validateSettings(settings);
+        m_save_interval.validateSettings(settings);
+        m_make_plot.validateSettings(settings);
+        m_profile.validateSettings(settings);
     }
 }

@@ -13,13 +13,13 @@ import org.kgcn.tpu.knime.nodes.GCNTpuNodeModel;
 /** GCNPredictor node: see kgcn_tpu.knime.helpers for the Python contract. */
 public class GCNPredictorNodeModel extends GCNTpuNodeModel {
 
-    private final SettingsModelString m_model_py = new SettingsModelString("model_py", "gcn");
-    private final SettingsModelBoolean m_with_feature = new SettingsModelBoolean("with_feature", true);
-    private final SettingsModelBoolean m_with_node_embedding = new SettingsModelBoolean("with_node_embedding", false);
-    private final SettingsModelInteger m_embedding_dim = new SettingsModelInteger("embedding_dim", 10);
-    private final SettingsModelBoolean m_normalize_adj_flag = new SettingsModelBoolean("normalize_adj_flag", true);
-    private final SettingsModelBoolean m_split_adj_flag = new SettingsModelBoolean("split_adj_flag", false);
-    private final SettingsModelInteger m_order = new SettingsModelInteger("order", 1);
+    private final SettingsModelString m_model_py = new SettingsModelString("model.py", "sample_chem.singletask.solubility.model");
+    private final SettingsModelBoolean m_with_feature = new SettingsModelBoolean("With Feature", true);
+    private final SettingsModelBoolean m_with_node_embedding = new SettingsModelBoolean("With Node Embedding", false);
+    private final SettingsModelInteger m_embedding_dim = new SettingsModelInteger("Embedding Dim", 10);
+    private final SettingsModelBoolean m_normalize_adj_flag = new SettingsModelBoolean("Normalize Adj Flag", false);
+    private final SettingsModelBoolean m_split_adj_flag = new SettingsModelBoolean("Split Adj Flag", false);
+    private final SettingsModelInteger m_order = new SettingsModelInteger("Order", 1);
 
     protected GCNPredictorNodeModel() {
         super(2, 1);

@@ -14,7 +14,7 @@ import org.kgcn.tpu.knime.nodes.GCNTpuNodeModel;
 public class GCNScoreViewerNodeModel extends GCNTpuNodeModel {
 
     private final SettingsModelString m_output_dir = new SettingsModelString("output_dir", "");
-    private final SettingsModelBoolean m_plot_multitask = new SettingsModelBoolean("plot_multitask", false);
+    private final SettingsModelBoolean m_plot_multitask = new SettingsModelBoolean("PlotMultitask", false);
 
     protected GCNScoreViewerNodeModel() {
         super(1, 0);

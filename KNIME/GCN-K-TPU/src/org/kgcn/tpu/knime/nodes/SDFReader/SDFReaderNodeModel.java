@@ -13,9 +13,9 @@ import org.kgcn.tpu.knime.nodes.GCNTpuNodeModel;
 /** SDFReader node: see kgcn_tpu.knime.helpers for the Python contract. */
 public class SDFReaderNodeModel extends GCNTpuNodeModel {
 
-    private final SettingsModelString m_sdf_file = new SettingsModelString("sdf_file", "");
-    private final SettingsModelInteger m_atom_num_limit = new SettingsModelInteger("atom_num_limit", 70);
-    private final SettingsModelString m_work_dir = new SettingsModelString("work_dir", "");
+    private final SettingsModelString m_sdf_file = new SettingsModelString("SDFFile", "");
+    private final SettingsModelInteger m_atom_num_limit = new SettingsModelInteger("AtomNumLimit", 70);
+    private final SettingsModelString m_work_dir = new SettingsModelString("WorkingDirectory", "");
 
     protected SDFReaderNodeModel() {
         super(0, 1);

@@ -28,16 +28,22 @@ import sys
 # reference nodes pass between each other
 
 
-def S(name, kind="string", default=""):
-    return {"name": name, "kind": kind, "default": default}
+def S(name, kind="string", default="", key=None):
+    """One dialog setting.  ``key`` is the KNIME settings-file key — kept
+    IDENTICAL to the reference NodeModel's CFGKEY string (e.g. "Batch
+    Size", "model.py") so a workflow saved with the reference plugin loads
+    into this one unchanged."""
+    return {"name": name, "kind": kind, "default": default,
+            "key": key if key is not None else name}
 
 
 NODE_SPECS = {
     # preprocessing chain
     "SDFReader": dict(
         inports=[], outports=["Mol Info File"],
-        settings=[S("sdf_file"), S("atom_num_limit", "int", 70),
-                  S("work_dir")],
+        settings=[S("sdf_file", key="SDFFile"),
+                  S("atom_num_limit", "int", 70, key="AtomNumLimit"),
+                  S("work_dir", key="WorkingDirectory")],
         script="py/prep_mol_info.py",
         args=["--sdf", "$sdf_file", "--atom_num_limit", "$atom_num_limit",
               "--output", "$OUT0"],
@@ -59,7 +65,8 @@ NODE_SPECS = {
     ),
     "CSVLabelExtractor": dict(
         inports=[], outports=["Label File"],
-        settings=[S("csv_file"), S("work_dir")],
+        settings=[S("csv_file", key="CSVFile"),
+                  S("work_dir", key="WorkingDirectory")],
         script="py/prep_label.py",
         args=["--label", "$csv_file", "--output", "$OUT0"],
         out_files=["$work_dir/label.jbl"],
@@ -67,7 +74,10 @@ NODE_SPECS = {
     "GCNDatasetBuilder": dict(
         inports=["Label File", "Adjacent File", "Atom Feature File"],
         outports=["Dataset File"],
-        settings=[],
+        # the reference ALSO declares a CSVFile setting (it re-reads the
+        # label CSV); ours flows labels through the inport, the setting is
+        # kept for saved-workflow compatibility
+        settings=[S("csv_file", key="CSVFile")],
         script="py/prep_dataset.py",
         args=["--label", "$IN0", "--adjacent", "$IN1",
               "--atom_feature", "$IN2", "--output", "$OUT0"],
@@ -76,7 +86,7 @@ NODE_SPECS = {
     "GCNDatasetSplitter": dict(
         inports=["Dataset File"],
         outports=["Dataset File", "Dataset File"],
-        settings=[S("ratio", "double", 0.8)],
+        settings=[S("ratio", "double", 0.9, key="Ratio")],
         script="py/split_dataset.py",
         args=["--dataset", "$IN0", "--ratio", "$ratio",
               "--output1", "$OUT0", "--output2", "$OUT1"],
@@ -85,7 +95,9 @@ NODE_SPECS = {
     ),
     "AdditionalModalityPreprocessor": dict(
         inports=[], outports=["Modality File"],
-        settings=[S("modality"), S("csv_file"), S("work_dir")],
+        settings=[S("modality", key="Modality"),
+                  S("csv_file", key="CSVFile"),
+                  S("work_dir", key="WorkingDirectory")],
         script="py/preprocess_modality.py",
         args=["--$modality", "$csv_file", "--output", "$OUT0"],
         out_files=["$work_dir/modality.jbl"],
@@ -100,32 +112,51 @@ NODE_SPECS = {
     # train / infer / explain — these write a JSON config and call gcn.py
     "GCNLearner": dict(
         inports=["Dataset File"], outports=["Model File"],
-        settings=[S("model_py", default="gcn"), S("validation_data_rate", "double", 0.2),
-                  S("epoch", "int", 50), S("batch_size", "int", 32),
-                  S("learning_rate", "double", 0.01),
-                  S("with_feature", "bool", True),
-                  S("with_node_embedding", "bool", False),
-                  S("embedding_dim", "int", 10),
-                  S("normalize_adj_flag", "bool", True),
-                  S("split_adj_flag", "bool", False), S("order", "int", 1),
-                  S("patience", "int", 0)],
+        # settings keys AND defaults mirror the reference GCNLearner
+        # (GCNLearnerNodeModel.java CFGKEY_*/DEFAULT_*); the dotted default
+        # model path resolves through the registry's reference aliases
+        settings=[S("model_py", key="model.py",
+                    default="sample_chem.singletask.solubility.model"),
+                  S("validation_data_rate", "double", 0.3,
+                    key="Validation Data Rate"),
+                  S("epoch", "int", 50, key="Epoch"),
+                  S("batch_size", "int", 10, key="Batch Size"),
+                  S("patience", "int", 0, key="Patience"),
+                  S("learning_rate", "double", 0.3, key="Learning Rate"),
+                  S("shuffle_data", "bool", False, key="Shuffle Data"),
+                  S("with_feature", "bool", True, key="With Feature"),
+                  S("with_node_embedding", "bool", False,
+                    key="With Node Embedding"),
+                  S("embedding_dim", "int", 10, key="Embedding Dim"),
+                  S("normalize_adj_flag", "bool", False,
+                    key="Normalize Adj Flag"),
+                  S("split_adj_flag", "bool", False, key="Split Adj Flag"),
+                  S("order", "int", 1, key="Order"),
+                  S("save_interval", "int", 10, key="Save Interval"),
+                  S("make_plot", "bool", False, key="Make Plot"),
+                  S("profile", "bool", False, key="Profile")],
         gcn_mode="train",
         config_keys=["model.py=$model_py", "dataset=$IN0_clean",
                      "validation_data_rate", "epoch", "batch_size",
                      "learning_rate", "with_feature", "with_node_embedding",
                      "embedding_dim", "normalize_adj_flag", "split_adj_flag",
-                     "order", "patience", "save_model=$OUT0"],
+                     "order", "patience", "shuffle_data", "save_interval",
+                     "make_plot", "profile", "save_model=$OUT0"],
         out_files=["$WORKDIR/model.ckpt"],
     ),
     "GCNPredictor": dict(
         inports=["Model File", "Dataset File"],
         outports=["Prediction Data File"],
-        settings=[S("model_py", default="gcn"),
-                  S("with_feature", "bool", True),
-                  S("with_node_embedding", "bool", False),
-                  S("embedding_dim", "int", 10),
-                  S("normalize_adj_flag", "bool", True),
-                  S("split_adj_flag", "bool", False), S("order", "int", 1)],
+        settings=[S("model_py", key="model.py",
+                    default="sample_chem.singletask.solubility.model"),
+                  S("with_feature", "bool", True, key="With Feature"),
+                  S("with_node_embedding", "bool", False,
+                    key="With Node Embedding"),
+                  S("embedding_dim", "int", 10, key="Embedding Dim"),
+                  S("normalize_adj_flag", "bool", False,
+                    key="Normalize Adj Flag"),
+                  S("split_adj_flag", "bool", False, key="Split Adj Flag"),
+                  S("order", "int", 1, key="Order")],
         gcn_mode="infer",
         config_keys=["model.py=$model_py", "load_model=$IN0",
                      "dataset=$IN1_clean", "with_feature",
@@ -136,12 +167,16 @@ NODE_SPECS = {
     ),
     "GCNVisualizer": dict(
         inports=["Model File", "Dataset File"], outports=["IG Directory"],
-        settings=[S("model_py", default="gcn"),
-                  S("with_feature", "bool", True),
-                  S("with_node_embedding", "bool", False),
-                  S("embedding_dim", "int", 10),
-                  S("normalize_adj_flag", "bool", True),
-                  S("split_adj_flag", "bool", False), S("order", "int", 1)],
+        settings=[S("model_py", key="model.py",
+                    default="sample_chem.singletask.solubility.model"),
+                  S("with_feature", "bool", True, key="With Feature"),
+                  S("with_node_embedding", "bool", False,
+                    key="With Node Embedding"),
+                  S("embedding_dim", "int", 10, key="Embedding Dim"),
+                  S("normalize_adj_flag", "bool", False,
+                    key="Normalize Adj Flag"),
+                  S("split_adj_flag", "bool", False, key="Split Adj Flag"),
+                  S("order", "int", 1, key="Order")],
         gcn_mode="visualize",
         config_keys=["model.py=$model_py", "load_model=$IN0",
                      "dataset=$IN1_clean", "with_feature",
@@ -159,7 +194,7 @@ NODE_SPECS = {
     ),
     "GCNScoreViewer": dict(
         inports=["Prediction Data File"], outports=[],
-        settings=[S("output_dir"), S("plot_multitask", "bool", False)],
+        settings=[S("output_dir"), S("plot_multitask", "bool", False, key="PlotMultitask")],
         script="py/gcn_score_viewer.py",
         args=["--prediction_data", "$IN0", "--output", "$output_dir"],
         out_files=[],
@@ -189,7 +224,7 @@ def _settings_decl(spec):
         dv = JAVA_DEFAULTS[s["kind"]](s["default"])
         out.append(
             f'    private final {jt} m_{s["name"]} = '
-            f'new {jt}("{s["name"]}", {dv});'
+            f'new {jt}("{s["key"]}", {dv});'
         )
     return "\n".join(out)
 
@@ -566,6 +601,57 @@ public abstract class GCNTpuNodeModel extends NodeModel {{
 """
 
 
+ACTIVATOR = f"""package {PKG};
+
+import org.eclipse.ui.plugin.AbstractUIPlugin;
+import org.osgi.framework.BundleContext;
+
+/** OSGi bundle activator — same lifecycle shape as the reference plugin's
+ * (GCN-K Activator.java): no state beyond the shared plugin instance. */
+public class Activator extends AbstractUIPlugin {{
+    private static Activator plugin;
+
+    @Override
+    public void start(final BundleContext context) throws Exception {{
+        super.start(context);
+        plugin = this;
+    }}
+
+    @Override
+    public void stop(final BundleContext context) throws Exception {{
+        plugin = null;
+        super.stop(context);
+    }}
+
+    public static Activator getDefault() {{
+        return plugin;
+    }}
+}}
+"""
+
+
+def manifest_mf() -> str:
+    """OSGi bundle manifest mirroring the reference plugin's wiring
+    (GCN-K/META-INF/MANIFEST.MF): same Require-Bundle set, an
+    Export-Package entry per node package, lazy activation."""
+    exports = ",\n ".join(f"{PKG}.{n}" for n in sorted(NODE_SPECS))
+    return (
+        "Manifest-Version: 1.0\n"
+        "Bundle-ManifestVersion: 2\n"
+        "Bundle-Name: Node extension for kGCN-TPU\n"
+        f"Bundle-SymbolicName: {PKG};singleton:=true\n"
+        "Bundle-Version: 1.0.0\n"
+        f"Bundle-Activator: {PKG}.Activator\n"
+        "Bundle-Vendor: kgcn-tpu\n"
+        "Require-Bundle: org.eclipse.core.runtime,\n"
+        " org.knime.workbench.core,\n"
+        " org.knime.workbench.repository,\n"
+        " org.knime.base\n"
+        "Bundle-ActivationPolicy: lazy\n"
+        f"Export-Package: {exports}\n"
+    )
+
+
 def plugin_xml():
     entries = "\n".join(
         f'      <node category-path="/community/kgcn_tpu" '
@@ -600,7 +686,9 @@ def generate(outdir: str) -> list:
         w(os.path.join(d, f"{name}NodeFactory.java"), node_factory(name))
         w(os.path.join(d, f"{name}NodeDialog.java"), node_dialog(name, spec))
         w(os.path.join(d, f"{name}NodeFactory.xml"), factory_xml(name, spec))
+    w(os.path.join(src, "Activator.java"), ACTIVATOR)
     w(os.path.join(outdir, "plugin.xml"), plugin_xml())
+    w(os.path.join(outdir, "META-INF", "MANIFEST.MF"), manifest_mf())
     w(os.path.join(outdir, "build.properties"),
       "source.. = src/\nbin.includes = META-INF/, plugin.xml\n")
     return written

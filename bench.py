@@ -22,27 +22,58 @@ import time
 
 import numpy as np
 
+def _force(x) -> None:
+    """Force REAL completion of x's computation via a tiny readback.
+
+    Round-5 discovery: ``jax.block_until_ready`` on the axon tunnel
+    backend resolves WITHOUT waiting for remote execution — loop timings
+    were flat in the iteration count until a readback was added.  A
+    device→host fetch of one element is the only reliable sync (the
+    transfer cannot complete before the producing computation has run).
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    if getattr(leaf, "ndim", 0):
+        leaf = leaf[(0,) * leaf.ndim]
+    np.asarray(leaf)
+
+
+def _slope_time(looped, x0, iters, *, n1=None, trials=3):
+    """Per-iteration seconds of ``looped(x, n)`` via the two-point slope
+    of readback-timed runs (median of ``trials``).
+
+    The slope between a short run and a long run cancels every fixed
+    cost — dispatch, RPC, lazy-execution trigger, and the readback
+    itself — which through the tunnel attach are milliseconds each.  The
+    short/long lengths are perturbed per trial so the remote runtime
+    cannot serve a cached result for a repeated identical call.
+    """
+    n1 = n1 if n1 is not None else max(iters // 4, 1)
+    _force(looped(x0, n1))  # compile + warm
+    vals = []
+    for k in range(trials):
+        a, b = n1 + k, iters + k
+        t0 = time.perf_counter()
+        _force(looped(x0, a))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _force(looped(x0, b))
+        t_long = time.perf_counter() - t0
+        vals.append((t_long - t_short) / (b - a))
+    return max(float(np.median(vals)), 1e-9)
+
+
 def _chain_time(fn, x0, iters=1000):
-    """Device-side timing: iterate fn inside ONE jitted fori_loop."""
+    """Per-op seconds: iterate fn inside ONE jitted fori_loop, timed by
+    the readback-slope methodology (see _slope_time)."""
     import jax
     from jax import lax
 
     looped = jax.jit(
         lambda x, n: lax.fori_loop(0, n, lambda i, xx: fn(xx), x)
     )
-    out = looped(x0, 2)  # compile + warm
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = looped(x0, iters)
-    jax.block_until_ready(out)
-    t_total = time.perf_counter() - t0
-    # subtract the fixed dispatch cost measured with a 1-iteration run
-    t0 = time.perf_counter()
-    jax.block_until_ready(looped(x0, 1))
-    t_one = time.perf_counter() - t0
-    if t_total > 2 * t_one:
-        return (t_total - t_one) / (iters - 1)
-    return t_total / iters
+    return _slope_time(looped, x0, iters)
 
 
 def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
@@ -105,11 +136,20 @@ def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
     }
 
 
-def bench_roofline(B=256, N=128, F=128, C=3, iters=400, seed=0):
+def bench_roofline(N=128, F=128, C=3, seed=0):
     """Judge-readable roofline fractions for the headline dense path
     (VERDICT r04 #4): the fused GraphConv einsum's sustained TFLOP/s and
     HBM GB/s, with the fraction of this chip's peak, as EXPLICIT keys —
     the derivation previously lived only in MEASURED.md prose.
+
+    Two regimes:
+    * ``vmem`` (B=256): the production molecular-batch shape — the ~50 MB
+      adjacency stays VMEM-resident across the chained loop, so this
+      measures sustained compute, NOT HBM streaming (its apparent GB/s can
+      legitimately exceed the HBM peak; reported without a fraction).
+    * ``hbm`` (B=1024): ~335 MB f32 working set per iteration — far past
+      VMEM, every iteration streams from HBM; the GB/s fraction of the
+      819 GB/s datasheet peak is the memory-roofline claim.
 
     Peaks are the v5e datasheet numbers (819 GB/s HBM, 197 TFLOP/s bf16
     MXU), recorded in the output so the assumption is auditable.
@@ -121,35 +161,61 @@ def bench_roofline(B=256, N=128, F=128, C=3, iters=400, seed=0):
     kind = jax.devices()[0].device_kind
     peaks = {"hbm_gbps": 819.0, "bf16_tflops": 197.0}  # TPU v5e datasheet
     rng = np.random.RandomState(seed)
-    adj = jnp.asarray(rng.rand(C, B, N, N).astype(np.float32) * 0.1)
-    x0 = jnp.asarray(rng.standard_normal((B, N, F)).astype(np.float32))
 
-    def probe(a, c0):
-        def step(c):
-            y = jnp.einsum("cbij,bjf->bif", a, c)
+    def probe(B, dt, iters):
+        adj = jnp.asarray(
+            rng.rand(C, B, N, N).astype(np.float32) * 0.1).astype(dt)
+        c0 = jnp.asarray(
+            rng.standard_normal((B, N, F)).astype(np.float32)).astype(dt)
+
+        def step(aa, c):
+            y = jnp.einsum("cbij,bjf->bif", aa, c)
             return c + y * jnp.asarray(1e-30, c.dtype)
 
-        f = jax.jit(lambda c, n: lax.fori_loop(0, n, lambda i, cc: step(cc), c))
-        jax.block_until_ready(f(c0, 2))
-        jax.block_until_ready(f(c0, 2))
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(c0, iters))
-        return (time.perf_counter() - t0) / iters
+        t = _slope_time(jax.jit(
+            lambda x, n: lax.fori_loop(
+                0, n, lambda i, cc: step(x[0], cc), x[1])
+        ), (adj, c0), iters)
+        flops = 2.0 * C * B * N * N * F
+        nbytes = np.dtype(dt).itemsize * (C * B * N * N + 2 * B * N * F)
+        return flops / t / 1e12, nbytes / t / 1e9
 
-    flops = 2.0 * C * B * N * N * F
     out = {"roofline_device_kind": kind,
            "roofline_hbm_peak_gbps_assumed": peaks["hbm_gbps"],
            "roofline_bf16_mxu_peak_tflops_assumed": peaks["bf16_tflops"]}
+
+    # achievable-bandwidth reference: a streaming triad (c = 0.999*c + a)
+    # over 256 MB arrays — what THIS chip actually sustains through the
+    # tunnel-attached runtime, the honest denominator for "fraction of HBM"
+    M = 64 * 1024 * 1024  # 64M f32 = 256 MB per array
+    a = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+    c0 = jnp.zeros(M, jnp.float32)
+
+    def triad(x, n):  # the 256 MB array rides as an ARG: a closure
+        # constant this large is shipped to the remote compile service
+        # (HTTP 413), and XLA fuses un-barriered elementwise iterations
+        # into a single memory pass (observed: 50+ TB/s apparent)
+        aa, c = x
+
+        def body(i, cc):
+            return lax.optimization_barrier(cc * jnp.float32(0.999) + aa)
+
+        return lax.fori_loop(0, n, body, c)
+
+    t_triad = _slope_time(jax.jit(triad), (a, c0), 24, n1=6)
+    out["hbm_triad_gbps"] = 3 * M * 4 / t_triad / 1e9  # 2 reads + 1 write
+    out["hbm_triad_frac_of_peak"] = (
+        out["hbm_triad_gbps"] / peaks["hbm_gbps"])
+
     for tag, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        t = probe(adj.astype(dt), x0.astype(dt))
-        nbytes = np.dtype(dt).itemsize * (C * B * N * N + 2 * B * N * F)
-        out[f"dense_einsum_{tag}_tflops"] = flops / t / 1e12
-        out[f"dense_einsum_{tag}_hbm_gbps"] = nbytes / t / 1e9
-        out[f"dense_einsum_{tag}_hbm_frac_of_peak"] = (
-            nbytes / t / 1e9 / peaks["hbm_gbps"]
-        )
+        tf, _ = probe(256, dt, iters=300)
+        out[f"dense_einsum_{tag}_vmem_tflops"] = tf
+        tf_h, gb = probe(1024, dt, iters=40)
+        out[f"dense_einsum_{tag}_hbm_tflops"] = tf_h
+        out[f"dense_einsum_{tag}_hbm_gbps"] = gb
+        out[f"dense_einsum_{tag}_hbm_frac_of_peak"] = gb / peaks["hbm_gbps"]
     out["dense_einsum_bf16_mxu_frac_of_peak"] = (
-        out["dense_einsum_bf16_tflops"] / peaks["bf16_tflops"]
+        out["dense_einsum_bf16_vmem_tflops"] / peaks["bf16_tflops"]
     )
     return out
 
@@ -183,10 +249,7 @@ def bench_tiled_spmm(F=128, iters=50, seed=0):
         looped = jax.jit(
             lambda x_, n: lax.fori_loop(0, n, lambda i, xx: f(xx), x_)
         )
-        jax.block_until_ready(looped(x, 2))
-        t0 = time.perf_counter()
-        jax.block_until_ready(looped(x, iters))
-        dt = (time.perf_counter() - t0) / iters
+        dt = _slope_time(looped, x, iters)
         out[f"pallas_spmm_{name}_edges_per_s"] = E / dt
         idx, wl = coo_to_ell(s, r, np.ones(E, np.float32), V)
         idx, wl = jnp.asarray(idx), jnp.asarray(wl)
@@ -194,10 +257,7 @@ def bench_tiled_spmm(F=128, iters=50, seed=0):
         glooped = jax.jit(
             lambda x_, n: lax.fori_loop(0, n, lambda i, xx: g(xx), x_)
         )
-        jax.block_until_ready(glooped(x, 2))
-        t0 = time.perf_counter()
-        jax.block_until_ready(glooped(x, ell_iters))
-        dt_ell = (time.perf_counter() - t0) / ell_iters
+        dt_ell = _slope_time(glooped, x, ell_iters)
         out[f"ell_xla_{name}_edges_per_s"] = E / dt_ell
         out[f"pallas_vs_ell_{name}"] = dt_ell / dt
 
@@ -241,17 +301,12 @@ def bench_stream_spmm(F=128, iters=30, seed=0):
     x = jnp.asarray(rng.standard_normal((V, F)).astype(np.float32))
     bs = bake_stream(build_stream(s, r, V, weights=np.ones(E, np.float32)))
 
-    def fwd_loop(b, c, n):
+    def fwd_loop(c, n):
         return lax.fori_loop(
-            0, n, lambda i, cc: cc + stream_spmm_baked(b, cc) * 1e-30, c
+            0, n, lambda i, cc: cc + stream_spmm_baked(bs, cc) * 1e-30, c
         )
 
-    f = jax.jit(fwd_loop)
-    jax.block_until_ready(f(bs, x, 2))
-    jax.block_until_ready(f(bs, x, 2))
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(bs, x, iters))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _slope_time(jax.jit(fwd_loop), x, iters)
     out = {"stream_spmm_uniform_edges_per_s": E / dt}
 
     # --- gather-bound fraction (VERDICT r04 #4, judge-readable) ---------
@@ -274,11 +329,7 @@ def bench_stream_spmm(F=128, iters=30, seed=0):
     tk = jax.jit(
         lambda c, n: lax.fori_loop(0, n, lambda i, cc: take_step(cc), c)
     )
-    jax.block_until_ready(tk(xe, 2))
-    jax.block_until_ready(tk(xe, 2))
-    t0 = time.perf_counter()
-    jax.block_until_ready(tk(xe, iters))
-    t_gather = (time.perf_counter() - t0) / iters
+    t_gather = _slope_time(tk, xe, iters)
     t_bound = slots / GATHER_ENGINE_ROWS_PER_S + slots / MXU_SLOT_RATE
     out["stream_slots_per_edge"] = slots / E
     out["stream_pure_gather_rows_per_s"] = slots / t_gather
@@ -287,20 +338,15 @@ def bench_stream_spmm(F=128, iters=30, seed=0):
 
     cot = x
 
-    def step_loop(b, c, n):
+    def step_loop(c, n):
         def body(i, cc):
             g = jax.grad(
-                lambda x_: jnp.vdot(stream_spmm_baked(b, x_), cot)
+                lambda x_: jnp.vdot(stream_spmm_baked(bs, x_), cot)
             )(cc)
             return cc + g * 1e-30
         return lax.fori_loop(0, n, body, c)
 
-    g = jax.jit(step_loop)
-    jax.block_until_ready(g(bs, x, 2))
-    jax.block_until_ready(g(bs, x, 2))
-    t0 = time.perf_counter()
-    jax.block_until_ready(g(bs, x, max(iters // 3, 1)))
-    dt = (time.perf_counter() - t0) / max(iters // 3, 1)
+    dt = _slope_time(jax.jit(step_loop), x, max(iters // 3, 2))
     out["stream_spmm_uniform_fwdbwd_edges_per_s"] = E / dt
     return out
 
@@ -379,13 +425,13 @@ def bench_sparse_engine_tiled(B=16, N=256, F=81, avg_degree=8, iters=20,
             # the >=10 ms step times of this workload
             one_jit = jax.jit(one)
             s2 = one_jit(state)
-            jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+            _force(s2.params)
             s2 = one_jit(s2)
-            jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+            _force(s2.params)  # readback: block_until_ready does not sync
             t0 = time.perf_counter()
             for _ in range(iters):
                 s2 = one_jit(s2)
-            jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
+            _force(s2.params)
             dt = (time.perf_counter() - t0) / iters
             out[f"sparse_engine_{backend}_step_s"] = dt
             out[f"sparse_engine_{backend}_edges_per_s"] = (
@@ -455,20 +501,7 @@ def bench_train(B=256, N=64, F=32, iters=300, seed=0, precision="float32"):
             0, n, lambda i, st: one_step(st, None)[0], s
         )
     )
-    s2 = looped(state, 2)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
-    t0 = time.perf_counter()
-    s3 = looped(s2, iters)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
-    t_total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    s4 = looped(s3, 1)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s4.params)[0])
-    t_one = time.perf_counter() - t0
-    if t_total > 2 * t_one:
-        dt = (t_total - t_one) / (iters - 1)
-    else:  # dispatch jitter comparable to compute; skip the subtraction
-        dt = t_total / iters
+    dt = _slope_time(looped, state, iters)
     return {"train_step_s": dt, "train_graphs_per_s": B / dt}
 
 
@@ -543,14 +576,7 @@ def bench_gat(B=256, N=64, F=50, iters=500, seed=0):
         )
 
     looped = jax.jit(lambda s, n: lax.fori_loop(0, n, lambda i, st: one(st), s))
-    s2 = looped(state, 2)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
-    s2 = looped(s2, 2)  # settle
-    jax.block_until_ready(jax.tree_util.tree_leaves(s2.params)[0])
-    t0 = time.perf_counter()
-    s3 = looped(s2, iters)
-    jax.block_until_ready(jax.tree_util.tree_leaves(s3.params)[0])
-    dt = (time.perf_counter() - t0) / iters
+    dt = _slope_time(looped, state, iters)
     return {"gat_train_step_s": dt, "gat_train_graphs_per_s": B / dt}
 
 
@@ -613,11 +639,11 @@ def bench_kg_gcn_stream(V=100_000, E=1_000_000, dim=128, L=1_000_000,
             state = trainer.init_state(batch, seed=0)
             state, c, _ = trainer.train_step(state, batch)
             state, c, _ = trainer.train_step(state, batch)
-            jax.block_until_ready(c)
+            _force(c)  # readback: block_until_ready does not sync
             t0 = time.perf_counter()
             for _ in range(iters):
                 state, c, _ = trainer.train_step(state, batch)
-            jax.block_until_ready(c)
+            _force(c)
             dt = (time.perf_counter() - t0) / iters
             out[f"kg_gcn_step_triples_per_s_{backend}"] = L / dt
     finally:

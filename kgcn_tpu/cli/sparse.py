@@ -178,13 +178,27 @@ def main(argv=None):
         # fold-parallel path (parallel/cv.py): the reaction CV protocol is
         # the reference's canonical shell-parallel workload
         # (script_cv/02run_fold.sh) — here all folds share one SPMD program
+        import jax
+
         from kgcn_tpu.parallel.cv import (
-            FoldParallelCV, fold_parallel_enabled,
+            FoldParallelCV, fold_parallel_enabled, fold_parallel_flag,
         )
 
-        ds, info = _load(config)
-        folds = [split_fold(ds.num, f, num_folds) for f in range(num_folds)]
-        if fold_parallel_enabled(config, ds, info, num_folds):
+        # cheap pre-gate before paying a full dataset load: the sequential
+        # fallback reloads per fold inside cmd_train, so an eager _load
+        # here would be pure waste when fold-parallel cannot engage
+        flag = fold_parallel_flag(config)
+        plausible = flag == "force" or (
+            flag != "off" and len(jax.devices()) > 1
+            and not config.get("mesh") and not config.get("retrain")
+        )
+        parallel = False
+        if plausible:
+            ds, info = _load(config)
+            folds = [split_fold(ds.num, f, num_folds)
+                     for f in range(num_folds)]
+            parallel = fold_parallel_enabled(config, ds, info, num_folds)
+        if parallel:
             from kgcn_tpu.data import Batcher
 
             print(f"[fold_parallel] {num_folds} folds over the mesh")

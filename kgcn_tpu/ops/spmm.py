@@ -86,6 +86,12 @@ def spmm(senders, receivers, weights, x, num_nodes: int, backend: str | None = N
             return stream_spmm(stream, x=x).astype(x.dtype)
         # runtime (possibly learned/per-step) weights: always honour them —
         # a baked structure must never shadow dynamic weights silently
+        if weights is None:
+            raise ValueError(
+                "stream structure has no baked weights (w_slots is None) "
+                "and no runtime weights were given — build the structure "
+                "with weights=... or pass weights to spmm()"
+            )
         return stream_spmm_edges(stream, weights, x).astype(x.dtype)
     if backend == "tiled" and tiled is not None:
         from kgcn_tpu.ops.tiled_spmm import tiled_spmm

@@ -18,6 +18,20 @@ import time
 import numpy as np
 
 
+def _sync(x) -> None:
+    """Force real completion via a one-element readback.
+
+    ``jax.block_until_ready`` on the axon tunnel backend resolves without
+    waiting for remote execution (round-5 discovery, see bench.py
+    ``_force``); a device→host fetch is the only reliable sync."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    if getattr(leaf, "ndim", 0):
+        leaf = leaf[(0,) * leaf.ndim]
+    np.asarray(leaf)
+
+
 def bench_one(D: int, V: int, E: int, F: int, strategy: str, iters: int = 20):
     import jax
     import jax.numpy as jnp
@@ -40,12 +54,12 @@ def bench_one(D: int, V: int, E: int, F: int, strategy: str, iters: int = 20):
 
     run = lambda xx: spmm_edge_partitioned(part, xx, mesh, strategy=strategy)
     out = run(x)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     cur = x
     for _ in range(iters):
         cur = run(cur)
-    jax.block_until_ready(cur)
+    _sync(cur)
     dt = (time.perf_counter() - t0) / iters
     return E / dt
 
@@ -89,11 +103,11 @@ def bench_kg_step(D: int, V: int, E: int, dim: int, strategy: str,
     # remote-compile tunnel here costs 10s+ per compilation)
     for _ in range(2):
         state, _ = step(state, ll_dev, lv_dev, inv_n)
-    jax.block_until_ready(state["params"]["embed"])
+    _sync(state["params"]["embed"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, _ = step(state, ll_dev, lv_dev, inv_n)
-    jax.block_until_ready(state["params"]["embed"])
+    _sync(state["params"]["embed"])
     dt = (time.perf_counter() - t0) / iters
     return len(ll) / dt
 
@@ -128,11 +142,11 @@ def bench_dp_gnn(D: int, model_name: str, per_device_batch: int = 32,
     state = trainer.init_state(batch, seed=0)
     for _ in range(2):  # compile + settle
         state, cost, _ = trainer.train_step(state, batch)
-    jax.block_until_ready(cost)
+    _sync(cost)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, cost, _ = trainer.train_step(state, batch)
-    jax.block_until_ready(cost)
+    _sync(cost)
     dt = (time.perf_counter() - t0) / iters
     return n_edges / dt
 

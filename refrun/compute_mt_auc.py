@@ -30,7 +30,11 @@ def main(path):
     for fold in folds:
         p = np.array(fold["prediction_data"], dtype=np.float64)
         y = np.array(fold["test_labels"], dtype=np.float64)
-        m = fold.get("test_mask") or fold.get("test_mask_label")
+        # explicit None checks: `or` would treat a present-but-empty mask
+        # as missing and silently score every cell
+        m = fold.get("test_mask")
+        if m is None:
+            m = fold.get("test_mask_label")
         m = np.array(m, dtype=np.float64) if m is not None else None
         if p.ndim == 3 and p.shape[2] == 2:
             p = p[:, :, 1]

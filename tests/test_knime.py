@@ -146,6 +146,75 @@ def test_py_shims_exist_and_run(tmp_path):
     assert out.returncode == 0, out.stderr[-1500:]
 
 
+REF_PLUGIN = "/root/reference/KNIME/GCN-K"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_PLUGIN),
+                    reason="reference KNIME plugin not mounted")
+def test_plugin_structural_parity_with_reference():
+    """Golden-diff of the COMMITTED generated plugin (KNIME/GCN-K-TPU)
+    against the reference Eclipse plugin's structure (VERDICT r04 #9 —
+    compile verification is impossible without a JDK, structural parity is
+    the checkable contract):
+
+    * every reference node dir exists with NodeFactory/NodeModel/NodeDialog
+      + a NodeFactory.xml;
+    * plugin.xml registers every node factory;
+    * MANIFEST.MF mirrors the reference bundle wiring (same Require-Bundle
+      set, one Export-Package per node, lazy activation, an Activator);
+    * per-node KNIME settings keys are a SUPERSET of the reference
+      NodeModel's CFGKEY strings — a workflow saved with the reference
+      plugin loads into this one.
+    """
+    import re
+
+    ours = os.path.join(REPO, "KNIME", "GCN-K-TPU")
+    ref_nodes_dir = os.path.join(REF_PLUGIN, "src/org/gcnk/knime/nodes")
+    our_nodes_dir = os.path.join(ours, "src/org/kgcn/tpu/knime/nodes")
+    ref_nodes = sorted(
+        d for d in os.listdir(ref_nodes_dir)
+        if os.path.isdir(os.path.join(ref_nodes_dir, d))
+    )
+    assert ref_nodes, "reference plugin has no node dirs?"
+
+    plugin_xml = open(os.path.join(ours, "plugin.xml")).read()
+    manifest = open(os.path.join(ours, "META-INF", "MANIFEST.MF")).read()
+
+    for node in ref_nodes:
+        d = os.path.join(our_nodes_dir, node)
+        assert os.path.isdir(d), f"missing node dir {node}"
+        for role in ("NodeFactory.java", "NodeModel.java",
+                     "NodeDialog.java", "NodeFactory.xml"):
+            assert os.path.isfile(os.path.join(d, f"{node}{role}")), (
+                node, role)
+        assert f"{node}.{node}NodeFactory" in plugin_xml, node
+        assert f"org.kgcn.tpu.knime.nodes.{node}" in manifest, node
+
+        # settings-key superset: CFGKEY strings from the reference model
+        ref_model = open(os.path.join(
+            ref_nodes_dir, node, f"{node}NodeModel.java")).read()
+        ref_keys = set(re.findall(
+            r'CFGKEY_[A-Z_0-9]+\s*=\s*"([^"]*)"', ref_model))
+        our_model = open(os.path.join(d, f"{node}NodeModel.java")).read()
+        our_keys = set(re.findall(
+            r'new\s+SettingsModel\w+\("([^"]*)"', our_model))
+        missing = ref_keys - our_keys
+        assert not missing, (node, missing)
+
+    # bundle wiring: the reference's Require-Bundle set, verbatim
+    ref_manifest = open(os.path.join(REF_PLUGIN, "META-INF",
+                                     "MANIFEST.MF")).read()
+
+    def bundles(m):
+        block = re.search(r"Require-Bundle:(.*?)(?=\n\S)", m, re.S)
+        return {b.strip() for b in block.group(1).split(",") if b.strip()}
+
+    assert bundles(manifest) == bundles(ref_manifest)
+    assert "Bundle-ActivationPolicy: lazy" in manifest
+    assert "Bundle-Activator: org.kgcn.tpu.knime.nodes.Activator" in manifest
+    assert os.path.isfile(os.path.join(our_nodes_dir, "Activator.java"))
+
+
 def test_plugin_generator_covers_all_reference_nodes(tmp_path):
     sys.path.insert(0, os.path.join(REPO, "KNIME"))
     import plugin_gen
