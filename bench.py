@@ -152,20 +152,28 @@ def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):
     }
 
 
-def bench_roofline(N=128, F=128, C=3, seed=0):
+def bench_roofline(N=128, F=128, seed=0):
     """Judge-readable roofline fractions for the headline dense path
-    (VERDICT r04 #4): the fused GraphConv einsum's sustained TFLOP/s and
-    HBM GB/s, with the fraction of this chip's peak, as EXPLICIT keys —
-    the derivation previously lived only in MEASURED.md prose.
+    (VERDICT r04 #4): the batched dense-adjacency matmul's sustained
+    TFLOP/s and HBM GB/s, with the fraction of this chip's peak, as
+    EXPLICIT keys — the derivation previously lived only in MEASURED.md
+    prose (and, it turned out, on inflated byte accounting: round-5
+    re-measurement notes in MEASURED.md).
 
-    Two regimes:
-    * ``vmem`` (B=256): the production molecular-batch shape — the ~50 MB
-      adjacency stays VMEM-resident across the chained loop, so this
-      measures sustained compute, NOT HBM streaming (its apparent GB/s can
-      legitimately exceed the HBM peak; reported without a fraction).
-    * ``hbm`` (B=1024): ~335 MB f32 working set per iteration — far past
-      VMEM, every iteration streams from HBM; the GB/s fraction of the
-      819 GB/s datasheet peak is the memory-roofline claim.
+    Single-channel probe on purpose: a multi-channel ``cbij,bjf`` einsum
+    lets XLA hoist the loop-invariant channel reduction out of the timing
+    loop and report impossible >peak rates.  Two regimes:
+
+    * ``vmem`` (B=256): the production molecular-batch shape — the ~17 MB
+      adjacency stays VMEM-resident across the chained loop, so this is
+      sustained compute, NOT HBM streaming (no bandwidth fraction
+      reported; note f32 matmuls run as bf16 MXU passes at JAX's default
+      precision, so f32 can exceed a naive f32 peak).
+    * ``hbm`` (B=6144): ~1.2 GB f32 working set per iteration — far past
+      the 128 MB VMEM, every iteration streams the adjacency from HBM;
+      the GB/s fraction of the 819 GB/s datasheet peak is the memory-
+      roofline claim, with ``hbm_triad_gbps`` as the achievable-bandwidth
+      reference.
 
     Peaks are the v5e datasheet numbers (819 GB/s HBM, 197 TFLOP/s bf16
     MXU), recorded in the output so the assumption is auditable.
@@ -180,20 +188,20 @@ def bench_roofline(N=128, F=128, C=3, seed=0):
 
     def probe(B, dt, iters):
         adj = jnp.asarray(
-            rng.rand(C, B, N, N).astype(np.float32) * 0.1).astype(dt)
+            rng.rand(B, N, N).astype(np.float32) * 0.1).astype(dt)
         c0 = jnp.asarray(
             rng.standard_normal((B, N, F)).astype(np.float32)).astype(dt)
 
         def step(aa, c):
-            y = jnp.einsum("cbij,bjf->bif", aa, c)
+            y = jnp.einsum("bij,bjf->bif", aa, c)
             return c + y * jnp.asarray(1e-30, c.dtype)
 
         t = _slope_time(jax.jit(
             lambda x, n: lax.fori_loop(
                 0, n, lambda i, cc: step(x[0], cc), x[1])
         ), (adj, c0), iters)
-        flops = 2.0 * C * B * N * N * F
-        nbytes = np.dtype(dt).itemsize * (C * B * N * N + 2 * B * N * F)
+        flops = 2.0 * B * N * N * F
+        nbytes = np.dtype(dt).itemsize * (B * N * N + 2 * B * N * F)
         return flops / t / 1e12, nbytes / t / 1e9
 
     out = {"roofline_device_kind": kind,
@@ -226,7 +234,7 @@ def bench_roofline(N=128, F=128, C=3, seed=0):
     for tag, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         tf, _ = probe(256, dt, iters=300)
         out[f"dense_einsum_{tag}_vmem_tflops"] = tf
-        tf_h, gb = probe(1024, dt, iters=40)
+        tf_h, gb = probe(6144, dt, iters=16)
         out[f"dense_einsum_{tag}_hbm_tflops"] = tf_h
         out[f"dense_einsum_{tag}_hbm_gbps"] = gb
         out[f"dense_einsum_{tag}_hbm_frac_of_peak"] = gb / peaks["hbm_gbps"]
@@ -330,13 +338,13 @@ def bench_stream_spmm(F=128, iters=30, seed=0):
     out = {"stream_spmm_uniform_edges_per_s": E / dt}
 
     # --- gather-bound fraction (VERDICT r04 #4, judge-readable) ---------
-    # The scattered-regime bound is silicon: the XLA row-take engine issues
-    # ~530 M rows/s regardless of index order/dtype, and gather+scatter run
-    # serially (per-row DMA inside Pallas is architecturally impossible) —
-    # measured in experiments/dma_gather.py on this chip, argued in
-    # MEASURED.md "speed-of-light".  Ideal step = slots at the engine rate
-    # + slots through the MXU at one K-row per cycle (v5e ~940 MHz).
-    GATHER_ENGINE_ROWS_PER_S = 530e6
+    # The scattered-regime bound is silicon: the XLA row-take engine is
+    # issue-bound regardless of index order/dtype, and gather+scatter run
+    # serially (per-row DMA inside Pallas is architecturally impossible —
+    # experiments/dma_gather.py, MEASURED.md "speed-of-light").  The bound
+    # uses THIS run's measured pure-gather rate (not a stale constant: the
+    # r04 "530 M rows/s" carried the pre-readback timing artifact) + the
+    # MXU at one K-row per cycle (v5e ~940 MHz).
     MXU_SLOT_RATE = 940e6
     slots = int(bs.meta.slots)
     idx = jnp.asarray(np.asarray(bs.arrays.slot_sender))
@@ -350,7 +358,7 @@ def bench_stream_spmm(F=128, iters=30, seed=0):
         lambda c, n: lax.fori_loop(0, n, lambda i, cc: take_step(cc), c)
     )
     t_gather = _slope_time(tk, xe, iters)
-    t_bound = slots / GATHER_ENGINE_ROWS_PER_S + slots / MXU_SLOT_RATE
+    t_bound = t_gather + slots / MXU_SLOT_RATE
     out["stream_slots_per_edge"] = slots / E
     out["stream_pure_gather_rows_per_s"] = slots / t_gather
     out["stream_bound_edges_per_s"] = E / t_bound

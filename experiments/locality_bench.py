@@ -69,10 +69,9 @@ def main():
                 0, n, lambda i, xx: xx + f(xx)[: xx.shape[0]] * 1e-30, x_
             )
         )
-        jax.block_until_ready(looped(x, 2))
-        t0 = time.perf_counter()
-        jax.block_until_ready(looped(x, 20))
-        dt = (time.perf_counter() - t0) / 20
+        from experiments._timing import slope_time
+
+        dt = slope_time(looped, (x,), 20)
         out[f"tiled_powerlaw_loc{int(loc)}_edges_per_s"] = E / dt
         print(f"locality={loc}: tiling=({ts},{tr},{chunk}) "
               f"chunks={te.meta.n_chunks} -> {E/dt/1e6:.1f} M edges/s "

@@ -34,6 +34,8 @@ def log(m):
 
 
 def timed_loop(body, init, iters=30, extra=None):
+    from experiments._timing import slope_time
+
     if extra is None:
         f = jax.jit(lambda c, n: lax.fori_loop(
             0, n, lambda i, cc: body(cc), c))
@@ -42,11 +44,7 @@ def timed_loop(body, init, iters=30, extra=None):
         f = jax.jit(lambda c, ex, n: lax.fori_loop(
             0, n, lambda i, cc: body(cc, ex), c))
         args = (init, extra)
-    jax.block_until_ready(f(*args, 2))
-    jax.block_until_ready(f(*args, 2))
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(*args, iters))
-    return (time.perf_counter() - t0) / iters
+    return slope_time(f, args, iters)
 
 
 def run_variant(name, ss, V, F, x, variant, take_dtype=jnp.bfloat16):

@@ -61,16 +61,16 @@ def main():
         looped = jax.jit(
             lambda x_, n: lax.fori_loop(0, n, lambda i, xx: f(xx), x_)
         )
+        from experiments._timing import force, slope_time
+
         t0 = time.perf_counter()
         try:
-            jax.block_until_ready(looped(x, 2))
+            force(looped(x, 2))
         except Exception as e:
             print(f"ts={ts} tr={tr} chunk={chunk}: FAIL {str(e)[:120]}")
             continue
         t_compile = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(looped(x, args.iters))
-        dt = (time.perf_counter() - t0) / args.iters
+        dt = slope_time(looped, (x,), args.iters)
         print(
             f"ts={ts} tr={tr} chunk={chunk}: {args.E/dt/1e6:.1f} M e/s "
             f"({dt*1e3:.2f} ms)  slots={slots/1e6:.2f}M "
