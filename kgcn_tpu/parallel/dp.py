@@ -142,7 +142,10 @@ class GlobalShardedBatcher:
         shards = []
         for dl in range(self.D_local):
             d = self.pid * self.D_local + dl
-            shards.append(self.b.make_batch(global_idx[d * B:(d + 1) * B]))
+            # a trailing device's slice can be EMPTY when the dataset is
+            # smaller than the global batch — pad with an all-invalid batch
+            shards.append(
+                self._padded_local_batch(global_idx[d * B:(d + 1) * B]))
         return stack_batches(shards)
 
     def host_sample(self) -> Batch:

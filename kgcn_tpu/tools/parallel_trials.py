@@ -115,6 +115,7 @@ class DeviceTrialPool:
                     "es": EarlyStopping(int(cfg.get("patience", 0) or 0),
                                         cfg.get("task", "")),
                     "best": np.inf, "done": False,
+                    "epochs": int(cfg.get("epoch", 20)),
                     "epoch_fn": trainer._make_epoch_runner(),
                     "eval_fn": trainer._make_eval_runner(),
                 })
@@ -124,7 +125,7 @@ class DeviceTrialPool:
                 trials.append({"params": params, "done": True,
                                "best": np.inf})
 
-        epochs = int(self.base.get("epoch", 20))
+        epochs = max((t.get("epochs", 0) for t in trials), default=0)
         n_va = max(self.valid_ds.num, 1)
         v_scheds = {}
         for epoch in range(epochs):
@@ -132,7 +133,7 @@ class DeviceTrialPool:
             # (no host sync yet → all devices compute concurrently)
             pend = []
             for t in trials:
-                if t["done"]:
+                if t["done"] or epoch >= t.get("epochs", 0):
                     continue
                 sched, valid = t["rb"].epoch_schedule(
                     shuffle=bool(t["cfg"].get("shuffle_data", True)),
