@@ -254,6 +254,18 @@ SCENARIOS = {
 }
 
 
+def scenario_all(jax, tmp: str) -> None:
+    """Every scenario in one process pair: JAX import, gloo bring-up and
+    the distributed coordination service are paid ONCE instead of once per
+    scenario (the test suite's multi-process wall-time is dominated by that
+    bring-up, not by the scenarios themselves)."""
+    for name in ("collectives", "dp_parity", "ingest", "ckpt", "cv"):
+        SCENARIOS[name](jax, tmp)
+
+
+SCENARIOS["all"] = scenario_all
+
+
 def main() -> int:
     scenario, tmp = sys.argv[1], sys.argv[2]
     jax = _bringup()

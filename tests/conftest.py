@@ -43,3 +43,18 @@ if _cache:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     except Exception:
         pass
+
+
+# Scheduling: xdist --dist loadfile hands whole files to workers in
+# collection (alphabetical) order.  test_multiprocess.py is one indivisible
+# ~60 s chunk (a 2-process distributed job behind a module fixture) — picked
+# up mid-alphabet it lands in the tail and extends the suite by most of its
+# duration.  Front-load ONLY that file: its fixture then overlaps the many
+# cheap early files.  (Front-loading every heavy file was measured SLOWER —
+# all the contention-heavy tests then run simultaneously on 2 cores.)
+
+
+def pytest_collection_modifyitems(config, items):
+    items.sort(
+        key=lambda it: 0 if it.fspath.basename == "test_multiprocess.py"
+        else 1)

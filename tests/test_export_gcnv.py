@@ -54,13 +54,16 @@ def test_gcnv_renders_ig_dump(tmp_path):
         assert any(f.endswith(suffix) for f in made), suffix
 
 
+@pytest.mark.slow_e2e
 def test_export_savedmodel_roundtrip(tmp_path):
     """jax2tf SavedModel bridge (reference-compat artifact: frozen GraphDef
     gcn.py:335-341 / BestExporter SavedModel task_sparse_gcn.py:218-226):
     external TF tooling loads the artifact and reproduces our predictions.
 
     Runs in a SUBPROCESS: TF-in-the-test-process is flaky under the
-    suite's parallel workers (thread/XLA-runtime contention)."""
+    suite's parallel workers (thread/XLA-runtime contention).  Marked
+    slow_e2e (the TF import alone costs ~25 s on a 2-core host): excluded
+    from the default suite, run explicitly with ``-m slow_e2e``."""
     import importlib.util
     import subprocess
     import sys

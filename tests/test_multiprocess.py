@@ -7,6 +7,12 @@ N separate python processes joined through ``jax.distributed.initialize``
 (``kgcn_tpu/parallel/_mp_worker.py``) — init ordering, cross-process
 collectives, per-host sharded ingest, the checkpoint write barrier, and
 distributed resume all execute for real.
+
+All five scenarios run in ONE launcher invocation (worker scenario
+``all``) on a 2-process x 2-device topology: the multi-process wall time
+is dominated by per-process JAX import + gloo/coordination bring-up, so
+paying it once instead of five times keeps the suite inside its wall-time
+budget without dropping a single assertion.
 """
 import json
 import os
@@ -43,44 +49,54 @@ if not _gloo_available():  # pragma: no cover - environment-dependent
                "psum impossible); run on a jaxlib built with gloo")
 
 
-def _run(scenario, tmp, nprocs=2, devices_per_process=2, timeout=420):
+NPROCS = 2
+DEVICES_PER_PROCESS = 2
+D_GLOBAL = NPROCS * DEVICES_PER_PROCESS
+
+
+@pytest.fixture(scope="module")
+def mp_run(tmp_path_factory):
+    """One 2-process x 2-device job running every scenario; returns
+    (tmp_dir, per-process CompletedProcess list)."""
+    tmp = tmp_path_factory.mktemp("mp")
     results = launch(
-        nprocs,
+        NPROCS,
         [sys.executable, "-m", "kgcn_tpu.parallel._mp_worker",
-         scenario, str(tmp)],
+         "all", str(tmp)],
         platform="cpu",
-        devices_per_process=devices_per_process,
-        timeout=timeout,
+        devices_per_process=DEVICES_PER_PROCESS,
+        timeout=600,
         stream=False,
     )
     for i, r in enumerate(results):
         assert r.returncode == 0, (
             f"worker {i} failed (rc={r.returncode}):\n{r.stdout[-4000:]}")
-        assert f"[MPOK] {scenario} p{i}" in r.stdout, r.stdout[-4000:]
-    return results
+    return tmp, results
 
 
-def _payload(result, scenario, pid):
-    m = re.search(rf"\[MPOK\] {scenario} p{pid} (\{{.*\}})", result.stdout)
-    assert m, result.stdout[-4000:]
+def _payload(results, scenario, pid):
+    m = re.search(rf"\[MPOK\] {scenario} p{pid} (\{{.*\}})",
+                  results[pid].stdout)
+    assert m, (scenario, results[pid].stdout[-4000:])
     return json.loads(m.group(1))
 
 
-def test_collectives_across_processes(tmp_path):
-    """2 processes x 1 device: mesh bring-up + cross-process psum."""
-    res = _run("collectives", tmp_path, nprocs=2, devices_per_process=1)
-    p = _payload(res[0], "collectives", 0)
-    assert p["devices"] == 2
+def test_collectives_across_processes(mp_run):
+    """Mesh bring-up + cross-process psum over the 2x2 topology."""
+    _, res = mp_run
+    p = _payload(res, "collectives", 0)
+    assert p["devices"] == D_GLOBAL
+    assert _payload(res, "collectives", 1)["sum"] == p["sum"]
 
 
-def test_dp_training_parity_with_single_process(tmp_path):
+def test_dp_training_parity_with_single_process(mp_run):
     """2 processes x 2 devices == one process x 4 devices, bit-close: same
     global mesh, same epoch-keyed data order, same seeds."""
-    res = _run("dp_parity", tmp_path, nprocs=2, devices_per_process=2)
-    mp_costs = np.load(tmp_path / "costs_mp.npy")
-    mp_params = np.load(tmp_path / "params_mp.npy")
-    p0 = _payload(res[0], "dp_parity", 0)
-    p1 = _payload(res[1], "dp_parity", 1)
+    tmp, res = mp_run
+    mp_costs = np.load(tmp / "costs_mp.npy")
+    mp_params = np.load(tmp / "params_mp.npy")
+    p0 = _payload(res, "dp_parity", 0)
+    p1 = _payload(res, "dp_parity", 1)
     assert p0["costs"] == pytest.approx(p1["costs"])  # replicated outputs
 
     # identical single-process run on the same 4 global devices
@@ -93,12 +109,13 @@ def test_dp_training_parity_with_single_process(tmp_path):
     from kgcn_tpu.parallel.mesh import make_mesh
     from kgcn_tpu.parallel._mp_worker import _cfg
 
-    cfg = _cfg(str(tmp_path))
+    cfg = _cfg(str(tmp))
     ds, info = build_dataset(make_ring_dataset(num_pairs=20, seed=0), cfg)
-    mesh = make_mesh({"data": 4})
+    mesh = make_mesh({"data": D_GLOBAL})
     model = build_model("gin", info, cfg)
     trainer = DPTrainer(model, cfg, info, mesh=mesh)
-    sb = ShardedBatcher(Batcher(ds, info, cfg["batch_size"], seed=0), 4)
+    sb = ShardedBatcher(Batcher(ds, info, cfg["batch_size"], seed=0),
+                        D_GLOBAL)
     state = trainer.init_state(sb.make_batch(np.arange(20)), seed=0)
     costs = []
     for ep in range(cfg["epoch"]):
@@ -111,12 +128,12 @@ def test_dp_training_parity_with_single_process(tmp_path):
     np.testing.assert_allclose(mp_params, ref, atol=1e-5)
 
 
-def test_sharded_ingest_covers_dataset_once(tmp_path):
+def test_sharded_ingest_covers_dataset_once(mp_run):
     """Each process loads only its process_index_range slice; one epoch
     consumes every global example exactly once; the stream trains."""
-    res = _run("ingest", tmp_path, nprocs=2, devices_per_process=2)
-    p0 = _payload(res[0], "ingest", 0)
-    p1 = _payload(res[1], "ingest", 1)
+    _, res = mp_run
+    p0 = _payload(res, "ingest", 0)
+    p1 = _payload(res, "ingest", 1)
     assert p0["global_seen"] == p1["global_seen"] == 46
     assert p0["local_num"] + p1["local_num"] == 46
     assert abs(p0["local_num"] - p1["local_num"]) <= 1
@@ -124,21 +141,22 @@ def test_sharded_ingest_covers_dataset_once(tmp_path):
     assert p0["epoch_cost"] == pytest.approx(p1["epoch_cost"])
 
 
-def test_checkpoint_barrier_and_distributed_resume(tmp_path):
+def test_checkpoint_barrier_and_distributed_resume(mp_run):
     """Process-0 checkpoint write + barrier + all-process restore: the
     resumed trajectory equals the continued one on every process."""
-    res = _run("ckpt", tmp_path, nprocs=2, devices_per_process=2)
-    p0 = _payload(res[0], "ckpt", 0)
-    p1 = _payload(res[1], "ckpt", 1)
+    tmp, res = mp_run
+    p0 = _payload(res, "ckpt", 0)
+    p1 = _payload(res, "ckpt", 1)
     assert p0["resumed"] == pytest.approx(p0["continued"], rel=1e-5)
     assert p0["resumed"] == pytest.approx(p1["resumed"])
-    assert os.path.exists(tmp_path / "model.mp.ckpt")
+    assert os.path.exists(tmp / "model.mp.ckpt")
 
 
-def test_fold_parallel_cv_on_multiprocess_mesh(tmp_path):
-    """Fold-parallel CV as one SPMD program over a 2-process mesh."""
-    res = _run("cv", tmp_path, nprocs=2, devices_per_process=1)
-    p0 = _payload(res[0], "cv", 0)
-    p1 = _payload(res[1], "cv", 1)
-    assert p0["folds"] == 2
+def test_fold_parallel_cv_on_multiprocess_mesh(mp_run):
+    """Fold-parallel CV as one SPMD program over the multi-process mesh
+    (one fold per global device)."""
+    _, res = mp_run
+    p0 = _payload(res, "cv", 0)
+    p1 = _payload(res, "cv", 1)
+    assert p0["folds"] == D_GLOBAL
     assert p0["final_costs"] == p1["final_costs"]

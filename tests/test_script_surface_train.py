@@ -7,10 +7,19 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+import pytest
+
+
+@pytest.mark.slow_e2e
 def test_script_surface_forwarders(tmp_path):
     """The reference's script-path invocation surface (used verbatim by the
     KNIME GCN-K Java nodes, GCNLearnerNodeModel.java:275-277) works against
-    this repo: ``python gcn.py <mode> --config <file>``."""
+    this repo: ``python gcn.py <mode> --config <file>``.
+
+    Marked slow_e2e (two full subprocess train/infer cycles; the same
+    forwarder surface is exercised every default run by
+    test_script_surface_viz and test_knime): excluded from the default
+    suite, run explicitly with ``-m slow_e2e``."""
     import subprocess
     import sys
 
