@@ -22,74 +22,25 @@ import time
 
 import numpy as np
 
-def _force(x) -> None:
-    """Force REAL completion of x's computation via a tiny readback.
-
-    Round-5 discovery: ``jax.block_until_ready`` on the axon tunnel
-    backend resolves WITHOUT waiting for remote execution — loop timings
-    were flat in the iteration count until a readback was added.  A
-    device→host fetch of one element is the only reliable sync (the
-    transfer cannot complete before the producing computation has run).
-    """
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    if getattr(leaf, "ndim", 0):
-        leaf = leaf[(0,) * leaf.ndim]
-    np.asarray(leaf)
+from kgcn_tpu.runtime.timing import force as _force  # readback sync
 
 
 def _slope_time(looped, x0, iters, *, n1=None, trials=3):
-    """Per-iteration seconds of ``looped(x, n)`` via the two-point slope
-    of readback-timed runs (median of ``trials``).
+    """Shim over the canonical readback-slope timer
+    (kgcn_tpu/runtime/timing.py — the ONE implementation of the honest
+    tunnel-backend methodology): here ``looped(x0, n)`` takes a single
+    loop-invariant input, possibly a tuple passed through whole."""
+    from kgcn_tpu.runtime.timing import slope_time
 
-    The slope between a short run and a long run cancels every fixed
-    cost — dispatch, RPC, lazy-execution trigger, and the readback
-    itself — which through the tunnel attach are ~30 ms with ±2-3 ms
-    jitter.  The long run is GROWN (doubling) until its added compute
-    clearly dominates that jitter; otherwise the slope is noise (observed:
-    impossible multi-hundred-TF/s readings when t_long−t_short ≈ 2 ms).
-    Lengths are perturbed per trial so the remote runtime cannot serve a
-    cached result for a repeated identical call.
-    """
-    n1 = n1 if n1 is not None else max(iters // 4, 1)
-    _force(looped(x0, n1))  # compile + warm
-    t0 = time.perf_counter()
-    _force(looped(x0, n1 + 1))
-    base = time.perf_counter() - t0
-    n2 = max(iters, 2 * n1)
-    for _ in range(14):
-        t0 = time.perf_counter()
-        _force(looped(x0, n2))
-        t_long = time.perf_counter() - t0
-        # stop once the extra iterations cost >= max(50 ms, the whole
-        # fixed base) — the slope is then signal, not jitter
-        if t_long - base >= max(0.05, base):
-            break
-        n2 *= 2
-    vals = []
-    for k in range(trials):
-        a, b = n1 + 1 + k, n2 + 1 + k
-        t0 = time.perf_counter()
-        _force(looped(x0, a))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _force(looped(x0, b))
-        t_long = time.perf_counter() - t0
-        vals.append((t_long - t_short) / (b - a))
-    return max(float(np.median(vals)), 1e-12)
+    return slope_time(looped, (x0,), iters, n1=n1, trials=trials)
 
 
 def _chain_time(fn, x0, iters=1000):
-    """Per-op seconds: iterate fn inside ONE jitted fori_loop, timed by
-    the readback-slope methodology (see _slope_time)."""
-    import jax
-    from jax import lax
+    """Per-op seconds of fn iterated in ONE jitted fori_loop (canonical
+    impl: kgcn_tpu/runtime/timing.py chain_time)."""
+    from kgcn_tpu.runtime.timing import chain_time
 
-    looped = jax.jit(
-        lambda x, n: lax.fori_loop(0, n, lambda i, xx: fn(xx), x)
-    )
-    return _slope_time(looped, x0, iters)
+    return chain_time(fn, x0, iters)
 
 
 def bench_aggregation(B=256, N=128, F=128, avg_degree=8, channels=1, seed=0):

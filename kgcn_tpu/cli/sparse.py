@@ -181,19 +181,14 @@ def main(argv=None):
         import jax
 
         from kgcn_tpu.parallel.cv import (
-            FoldParallelCV, fold_parallel_enabled, fold_parallel_flag,
+            FoldParallelCV, fold_parallel_enabled, fold_parallel_plausible,
         )
 
         # cheap pre-gate before paying a full dataset load: the sequential
         # fallback reloads per fold inside cmd_train, so an eager _load
         # here would be pure waste when fold-parallel cannot engage
-        flag = fold_parallel_flag(config)
-        plausible = flag == "force" or (
-            flag != "off" and len(jax.devices()) > 1
-            and not config.get("mesh") and not config.get("retrain")
-        )
         parallel = False
-        if plausible:
+        if fold_parallel_plausible(config):
             ds, info = _load(config)
             folds = [split_fold(ds.num, f, num_folds)
                      for f in range(num_folds)]

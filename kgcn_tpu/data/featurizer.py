@@ -265,6 +265,9 @@ def _mol_rings(mol):
     return rings
 
 
+_GAFF_CONJ_MEMO: dict = {}
+
+
 def _gaff_conj(mol):
     """Kekulé-alternation colors for GAFF conjugation type pairs.
 
@@ -291,6 +294,19 @@ def _gaff_conj(mol):
     n, bonds = _mol_graph(mol)
     atoms = ([mol.GetAtomWithIdx(i) for i in range(n)]
              if hasattr(mol, "GetAtomWithIdx") else list(mol.atoms))
+    # the attribute cache above is identity-based and only helps backends
+    # whose owning-mol object is stable (molparse); RDKit's GetOwningMol
+    # returns a FRESH wrapper per call, so per-atom typing would recompute
+    # this per atom.  Memo on the exact graph signature the function reads
+    # (elements, aromaticity, H-inclusive degree, bonds+orders) instead.
+    sig = (n, tuple(bonds), tuple(
+        (a.GetAtomicNum(), bool(a.GetIsAromatic()),
+         a.GetDegree() + a.GetTotalNumHs())
+        for a in atoms
+    ))
+    hit = _GAFF_CONJ_MEMO.get(sig)
+    if hit is not None:
+        return hit
     rings = _mol_rings(mol)
     ring_sizes = [set() for _ in range(n)]
     for r in rings:
@@ -401,6 +417,9 @@ def _gaff_conj(mol):
             cp_set.update((i, j))
 
     out = (colors, cp_set)
+    if len(_GAFF_CONJ_MEMO) > 4096:  # bound the memo for huge corpora
+        _GAFF_CONJ_MEMO.clear()
+    _GAFF_CONJ_MEMO[sig] = out
     try:
         mol._gaff_conj_cache = out
     except Exception:

@@ -241,8 +241,24 @@ def scenario_cv(jax, tmp: str) -> None:
     costs = [r[2]["history"][-1]["training_cost"] for r in results]
     assert all(np.isfinite(c) for c in costs), costs
     barrier("cv-done")
+
+    # fewer folds than global devices: the fold axis must shrink to a
+    # process multiple built from each process's OWN local devices (a mesh
+    # sliced from the global, process-0-first device list would leave
+    # process 1 contributing rows it owns no devices for)
+    k_small = max(jax.process_count() + 1, 3)
+    folds_s = kfold_indices(ds.num, k_small, seed=1)
+    cv_s = FoldParallelCV(cfg, info, ds, folds_s)
+    assert cv_s.D < len(jax.devices()), (cv_s.D, len(jax.devices()))
+    results_s = cv_s.run(log=lambda s: None)
+    assert all(r is not None for r in results_s)
+    costs_s = [r[2]["history"][-1]["training_cost"] for r in results_s]
+    assert all(np.isfinite(c) for c in costs_s), costs_s
+    barrier("cv-small-done")
     _ok("cv", pid, {"folds": len(results),
-                    "final_costs": [round(c, 6) for c in costs]})
+                    "final_costs": [round(c, 6) for c in costs],
+                    "folds_small": len(results_s),
+                    "small_costs": [round(c, 6) for c in costs_s]})
 
 
 SCENARIOS = {

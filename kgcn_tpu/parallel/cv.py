@@ -91,6 +91,19 @@ def fold_parallel_enabled(config, ds, info, n_folds: int) -> bool:
     )
 
 
+def fold_parallel_plausible(config) -> bool:
+    """Cheap config-only pre-gate: can ``fold_parallel_enabled`` possibly
+    return True?  Lets callers (cli/sparse.py train_cv) skip an eager
+    dataset load when the answer is already no — kept HERE next to the real
+    gate so the two conditions cannot drift apart."""
+    flag = fold_parallel_flag(config)
+    if flag == "off" or config.get("retrain"):
+        return False
+    return flag == "force" or (
+        len(jax.devices()) > 1 and not config.get("mesh")
+    )
+
+
 def _stack(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
@@ -141,10 +154,25 @@ class FoldParallelCV:
         self.D = min(self.k, len(devs))
         if self.n_proc > 1:
             # each process must own whole folds (its rows of every fold-
-            # sharded array): round the fold axis to a process multiple
+            # sharded array, see _fold_global): round the fold axis to a
+            # process multiple, capped so every process can supply its
+            # share from its OWN local devices
+            by_proc = [[d for d in devs if d.process_index == p]
+                       for p in range(self.n_proc)]
+            min_local = min(len(p) for p in by_proc)
             self.D = max(self.n_proc,
-                         (self.D // self.n_proc) * self.n_proc)
-        self.mesh = Mesh(np.asarray(devs[: self.D]), ("fold",))
+                         min((self.D // self.n_proc),
+                             min_local) * self.n_proc)
+            Dl = self.D // self.n_proc
+            # mesh devices in process-major order: rows p*Dl:(p+1)*Dl of a
+            # fold-sharded array land on process p's devices — devs[:D]
+            # (global, process-0-first order) would give process 0 every
+            # mesh device while other processes still contribute rows,
+            # which make_array_from_process_local_data rejects
+            mesh_devs = [d for p in by_proc for d in p[:Dl]]
+            self.mesh = Mesh(np.asarray(mesh_devs), ("fold",))
+        else:
+            self.mesh = Mesh(np.asarray(devs[: self.D]), ("fold",))
         self._sh_fold = NamedSharding(self.mesh, P("fold"))
         self._sh_rep = NamedSharding(self.mesh, P())
         if self.n_proc > 1:

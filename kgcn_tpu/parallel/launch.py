@@ -135,8 +135,14 @@ def launch(
         t.start()
     results = []
     try:
+        # one shared deadline across ALL workers (a per-wait timeout would
+        # grant each subsequent worker a fresh budget, up to nprocs×timeout)
+        import time
+
+        deadline = None if timeout is None else time.monotonic() + timeout
         for i, p in enumerate(procs):
-            p.wait(timeout=timeout)
+            p.wait(timeout=None if deadline is None
+                   else max(0.0, deadline - time.monotonic()))
     except subprocess.TimeoutExpired:
         for p in procs:
             if p.poll() is None:

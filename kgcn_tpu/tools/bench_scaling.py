@@ -18,18 +18,9 @@ import time
 import numpy as np
 
 
-def _sync(x) -> None:
-    """Force real completion via a one-element readback.
-
-    ``jax.block_until_ready`` on the axon tunnel backend resolves without
-    waiting for remote execution (round-5 discovery, see bench.py
-    ``_force``); a device→host fetch is the only reliable sync."""
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    if getattr(leaf, "ndim", 0):
-        leaf = leaf[(0,) * leaf.ndim]
-    np.asarray(leaf)
+# readback sync — canonical impl (and the methodology rationale) lives in
+# kgcn_tpu/runtime/timing.py
+from kgcn_tpu.runtime.timing import force as _sync  # noqa: E402
 
 
 def bench_one(D: int, V: int, E: int, F: int, strategy: str, iters: int = 20):

@@ -132,29 +132,47 @@ class DeviceTrialPool:
             # phase 1: DISPATCH every live trial's train epoch + eval pass
             # (no host sync yet → all devices compute concurrently)
             pend = []
-            for t in trials:
+            for i, t in enumerate(trials):
                 if t["done"] or epoch >= t.get("epochs", 0):
                     continue
-                sched, valid = t["rb"].epoch_schedule(
-                    shuffle=bool(t["cfg"].get("shuffle_data", True)),
-                    epoch=epoch)
-                t["state"], costs, _ = t["epoch_fn"](
-                    t["state"], t["rb"].device_data,
-                    jnp.asarray(sched), jnp.asarray(valid))
-                key = id(t)
-                if key not in v_scheds:
-                    v_scheds[key] = t["vb"].epoch_schedule(shuffle=False)
-                vs, vv = v_scheds[key]
-                _, v_costs, _ = t["eval_fn"](
-                    t["state"].params, t["state"].batch_stats,
-                    t["vb"].device_data, jnp.asarray(vs), jnp.asarray(vv))
-                pend.append((t, costs, v_costs))
+                # a trial raising at trace/compile/run time must not abort
+                # the whole optimisation (sequential-path invariant:
+                # cli/opt.py run_trial scores such trials inf and moves on)
+                try:
+                    sched, valid = t["rb"].epoch_schedule(
+                        shuffle=bool(t["cfg"].get("shuffle_data", True)),
+                        epoch=epoch)
+                    t["state"], costs, _ = t["epoch_fn"](
+                        t["state"], t["rb"].device_data,
+                        jnp.asarray(sched), jnp.asarray(valid))
+                    key = id(t)
+                    if key not in v_scheds:
+                        v_scheds[key] = t["vb"].epoch_schedule(shuffle=False)
+                    vs, vv = v_scheds[key]
+                    _, v_costs, _ = t["eval_fn"](
+                        t["state"].params, t["state"].batch_stats,
+                        t["vb"].device_data, jnp.asarray(vs), jnp.asarray(vv))
+                except Exception as e:
+                    log(f"[opt] trial {i} failed at epoch {epoch} "
+                        f"({type(e).__name__}: {e}) — keeping best="
+                        f"{t['best']}")
+                    t["done"] = True
+                    continue
+                pend.append((t, i, costs, v_costs))
             if not pend:
                 break
-            # phase 2: FETCH results (each fetch only waits for its device)
-            for t, costs, v_costs in pend:
-                tc = float(np.sum(jax.device_get(costs)))
-                vc = float(np.sum(jax.device_get(v_costs))) / n_va
+            # phase 2: FETCH results (each fetch only waits for its device;
+            # async-dispatch errors also surface here, same per-trial guard)
+            for t, i, costs, v_costs in pend:
+                try:
+                    tc = float(np.sum(jax.device_get(costs)))
+                    vc = float(np.sum(jax.device_get(v_costs))) / n_va
+                except Exception as e:
+                    log(f"[opt] trial {i} failed at epoch {epoch} fetch "
+                        f"({type(e).__name__}: {e}) — keeping best="
+                        f"{t['best']}")
+                    t["done"] = True
+                    continue
                 if not np.isfinite(tc):
                     t["done"] = True  # diverged; best stays whatever it was
                     continue

@@ -154,9 +154,12 @@ def test_checkpoint_barrier_and_distributed_resume(mp_run):
 
 def test_fold_parallel_cv_on_multiprocess_mesh(mp_run):
     """Fold-parallel CV as one SPMD program over the multi-process mesh
-    (one fold per global device)."""
+    (one fold per global device), plus the k < global-devices case (the
+    fold mesh must be built from each process's own local devices)."""
     _, res = mp_run
     p0 = _payload(res, "cv", 0)
     p1 = _payload(res, "cv", 1)
     assert p0["folds"] == D_GLOBAL
     assert p0["final_costs"] == p1["final_costs"]
+    assert p0["folds_small"] == NPROCS + 1
+    assert p0["small_costs"] == p1["small_costs"]
