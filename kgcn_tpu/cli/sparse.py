@@ -178,8 +178,6 @@ def main(argv=None):
         # fold-parallel path (parallel/cv.py): the reaction CV protocol is
         # the reference's canonical shell-parallel workload
         # (script_cv/02run_fold.sh) — here all folds share one SPMD program
-        import jax
-
         from kgcn_tpu.parallel.cv import (
             FoldParallelCV, fold_parallel_enabled, fold_parallel_plausible,
         )

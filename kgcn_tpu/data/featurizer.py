@@ -306,6 +306,10 @@ def _gaff_conj(mol):
     ))
     hit = _GAFF_CONJ_MEMO.get(sig)
     if hit is not None:
+        try:  # stable-mol backends skip even the signature build next call
+            mol._gaff_conj_cache = hit
+        except Exception:
+            pass
         return hit
     rings = _mol_rings(mol)
     ring_sizes = [set() for _ in range(n)]

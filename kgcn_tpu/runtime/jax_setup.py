@@ -39,16 +39,19 @@ def setup_jax(config: dict | None = None, *, cpu: bool = False) -> None:
 
     if cpu:
         jax.config.update("jax_platforms", "cpu")
+        # the explicit CLI flag wins over any launcher --platform value:
+        # initialize_from_env applies ENV_PLATFORM, so align it (this also
+        # makes it enable the gloo TCP collectives the CPU backend needs)
+        from kgcn_tpu.parallel.launch import ENV_COORDINATOR, ENV_PLATFORM
+
+        if os.environ.get(ENV_COORDINATOR):
+            os.environ[ENV_PLATFORM] = "cpu"
     # under `kgcn-tpu-launch` every CLI process joins the distributed job
     # before the first backend touch (no-op when the env is absent) — ALSO
     # under --cpu: two launcher workers that silently skip the join would
     # run as independent single-process jobs clobbering each other's output
-    from kgcn_tpu.parallel.launch import ENV_COORDINATOR, initialize_from_env
+    from kgcn_tpu.parallel.launch import initialize_from_env
 
-    if cpu and os.environ.get(ENV_COORDINATOR):
-        # CLI-forced CPU without the launcher's --platform flag still needs
-        # the gloo TCP backend for cross-process collectives
-        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     initialize_from_env()
     cache = (config or {}).get(
         "compile_cache_dir",

@@ -154,8 +154,11 @@ class DeviceTrialPool:
                         t["vb"].device_data, jnp.asarray(vs), jnp.asarray(vv))
                 except Exception as e:
                     log(f"[opt] trial {i} failed at epoch {epoch} "
-                        f"({type(e).__name__}: {e}) — keeping best="
-                        f"{t['best']}")
+                        f"({type(e).__name__}: {e}) — scoring inf")
+                    # sequential invariant (cli/opt.py run_trial): a RAISING
+                    # trial scores inf even if earlier epochs looked good —
+                    # its config crashes when trained to the full epoch count
+                    t["best"] = np.inf
                     t["done"] = True
                     continue
                 pend.append((t, i, costs, v_costs))
@@ -169,8 +172,8 @@ class DeviceTrialPool:
                     vc = float(np.sum(jax.device_get(v_costs))) / n_va
                 except Exception as e:
                     log(f"[opt] trial {i} failed at epoch {epoch} fetch "
-                        f"({type(e).__name__}: {e}) — keeping best="
-                        f"{t['best']}")
+                        f"({type(e).__name__}: {e}) — scoring inf")
+                    t["best"] = np.inf
                     t["done"] = True
                     continue
                 if not np.isfinite(tc):
