@@ -152,6 +152,24 @@ def test_checkpoint_barrier_and_distributed_resume(mp_run):
     assert os.path.exists(tmp / "model.mp.ckpt")
 
 
+def test_cli_cpu_flag_joins_launcher_job(tmp_path):
+    """setup_jax(cpu=True) under kgcn-tpu-launch still joins the
+    distributed job (and the explicit --cpu wins over the launcher's
+    --platform): two workers that silently skipped the join would run as
+    independent single-process jobs clobbering each other's outputs."""
+    code = ("from kgcn_tpu.runtime.jax_setup import setup_jax; "
+            "setup_jax(cpu=True); import jax; "
+            "print('JOINED', jax.process_count(), jax.default_backend())")
+    results = launch(
+        2, [sys.executable, "-c", code],
+        platform="tpu",  # adversarial: CLI --cpu must still win
+        devices_per_process=1, timeout=300, stream=False,
+    )
+    for i, r in enumerate(results):
+        assert r.returncode == 0, r.stdout[-2000:]
+        assert "JOINED 2 cpu" in r.stdout, r.stdout[-2000:]
+
+
 def test_fold_parallel_cv_on_multiprocess_mesh(mp_run):
     """Fold-parallel CV as one SPMD program over the multi-process mesh
     (one fold per global device), plus the k < global-devices case (the
